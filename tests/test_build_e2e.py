@@ -1,0 +1,97 @@
+"""End-to-end golden test: Ray build vs the independent Python oracle.
+
+Per-file set comparison with precision/recall gates (FIXTURES.md F4;
+target P=R=1.0 on the deterministic fixture, gate ≥0.95 per
+BASELINE.json).
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from oracle import oracle_build
+from yago4_ray.build import generate_yago
+from yago4_ray.schema import Schema
+
+
+def _pr(got: set, want: set):
+    if not got and not want:
+        return 1.0, 1.0
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    return precision, recall
+
+
+@pytest.fixture(scope="session")
+def build_outputs(statements_root):
+    outputs = generate_yago(statements_root, write=False)
+    result = {}
+    for name, ds in outputs.items():
+        df = ds.to_pandas()
+        if "annotation_predicate" in df.columns:
+            result[name] = set(
+                zip(df["subject"], df["predicate"], df["object"],
+                    df["annotation_predicate"], df["annotation_object"])
+            )
+        else:
+            result[name] = set(
+                zip(df["subject"], df["predicate"], df["object"])
+            )
+    return result
+
+
+@pytest.fixture(scope="session")
+def oracle_outputs(corpus_dir):
+    table = pq.read_table(os.path.join(corpus_dir, "statements.parquet"))
+    triples = list(
+        zip(
+            table["subject"].to_pylist(),
+            table["predicate"].to_pylist(),
+            table["object"].to_pylist(),
+        )
+    )
+    return oracle_build(triples, Schema.open())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["class", "simple-types", "full-types", "labels", "facts",
+     "annotated-facts", "sameAs"],
+)
+def test_output_matches_oracle(build_outputs, oracle_outputs, name):
+    got = build_outputs[name]
+    want = oracle_outputs[name]
+    precision, recall = _pr(got, want)
+    missing = list(want - got)[:5]
+    extra = list(got - want)[:5]
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"{name}: P={precision:.3f} R={recall:.3f} "
+        f"(got {len(got)}, want {len(want)})\n"
+        f"missing: {missing}\nextra: {extra}"
+    )
+
+
+def test_outputs_nonempty(build_outputs, oracle_outputs):
+    for name in ("class", "simple-types", "full-types", "labels", "facts",
+                 "annotated-facts", "sameAs", "schema", "shapes"):
+        assert build_outputs[name], f"{name} is empty"
+    # the oracle itself must be exercising every family
+    assert oracle_outputs["annotated-facts"]
+    assert any(
+        p == "<http://schema.org/birthDate>" for _, p, _ in oracle_outputs["facts"]
+    )
+    assert any(
+        p == "<http://schema.org/geo>" for _, p, _ in oracle_outputs["facts"]
+    )
+    assert any(
+        p == "<http://schema.org/duration>" for _, p, _ in oracle_outputs["facts"]
+    )
+    assert any(
+        p == "<http://schema.org/numberOfEmployees>"
+        for _, p, _ in oracle_outputs["facts"]
+    )
+    assert any(
+        p == "<http://schema.org/elevation>" for _, p, _ in oracle_outputs["facts"]
+    )

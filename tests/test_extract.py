@@ -1,0 +1,95 @@
+"""Extraction-stage tests: P/R vs the generator's ground truth, and the
+span-sequence pass-through invariant."""
+
+import os
+
+import pyarrow.parquet as pq
+import ray.data
+
+from yago4_ray.extract import MentionExtractor, check_span_invariant, extract_statements, pid_value_kinds
+from yago4_ray.schema import Schema
+
+
+def test_extraction_matches_truth(corpus_dir):
+    docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+    dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
+    truth = pq.read_table(os.path.join(corpus_dir, "truthy.parquet"))
+
+    statements, media = extract_statements(docs, dictionary, concurrency=2)
+    got_df = statements.to_pandas()
+    got = set(zip(got_df["subject"], got_df["predicate"], got_df["object"]))
+    want = set(
+        zip(
+            truth["subject"].to_pylist(),
+            truth["predicate"].to_pylist(),
+            truth["object"].to_pylist(),
+        )
+    )
+    tp = len(got & want)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    assert precision >= 0.99 and recall >= 0.99, (
+        f"P={precision:.3f} R={recall:.3f} got={len(got)} want={len(want)} "
+        f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
+    )
+    # media spans surfaced as candidates
+    assert media.count() > 0
+
+
+def test_span_invariant_through_stage(corpus_dir):
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+    # a doc-level transform that must not touch spans — pyarrow-native so
+    # the list<struct> column stays zero-copy (pandas would mangle it)
+    transformed = docs.map_batches(
+        lambda t: t.append_column("n_spans", pc.list_value_length(t["spans"])),
+        batch_format="pyarrow",
+    )
+    assert check_span_invariant(docs, transformed)
+
+
+def test_extractor_unit():
+    import pyarrow as pa
+
+    dictionary = pa.table(
+        {
+            "surface_form": ["ada lovelace", "london"],
+            "qid": ["Q7259", "Q84"],
+            "priority": pa.array([0, 1], pa.int32()),
+        }
+    )
+    kinds = pid_value_kinds(Schema.open())
+    ex = MentionExtractor(dictionary, kinds)
+    span_type = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+    )
+    batch = pa.table(
+        {
+            "doc_id": ["d1"],
+            "spans": pa.array(
+                [[
+                    {"kind": "text", "text": "ada lovelace | P19 | london",
+                     "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": "ada lovelace | P569 | 1815-12-10T00:00:00+00:00",
+                     "media_ref": "", "offset": 1},
+                    {"kind": "text", "text": "unknown person | P19 | london",
+                     "media_ref": "", "offset": 2},
+                    {"kind": "media", "text": "",
+                     "media_ref": "commons://File:Ada.jpg", "offset": 3},
+                ]],
+                span_type,
+            ),
+        }
+    )
+    out = ex(batch).to_pylist()
+    facts = [r for r in out if r["predicate"]]
+    media = [r for r in out if not r["predicate"]]
+    assert len(facts) == 2  # unknown surface dropped
+    assert facts[0]["subject"] == "<http://www.wikidata.org/entity/Q7259>"
+    assert facts[0]["object"] == "<http://www.wikidata.org/entity/Q84>"
+    assert "dateTime" in facts[1]["object"]
+    assert media[0]["object"] == "commons://File:Ada.jpg"

@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the baseline — query matrix broadcast once
+  (`ray.put`), per-batch numpy matmul, per-batch local top-k partials,
+  tiny global reduce. Scales linearly; zero shuffle of the corpus.
+- IVF top-k: the scale path — seeded k-means centroids fitted on a
+  sample, per-batch assignment, probe only the nprobe closest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+from ..joins import get_broadcast
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float32) for v in col])
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row.
+    Returns (query_idx, id, cosine, rank), deterministic ties by id."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = get_broadcast(q_ref)
+        mat = _normalize(_stack(batch[vec_col]))
+        sims = qm @ mat.T  # (n_queries, batch)
+        ids = batch[id_col].to_numpy()
+        out = {"query_idx": [], "id": [], "cosine": []}
+        kk = min(k, sims.shape[1])
+        # local top-k per query (argpartition = O(n))
+        idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                out["query_idx"].append(qi)
+                out["id"].append(ids[j])
+                out["cosine"].append(float(sims[qi, j]))
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    # global reduce: tiny (n_queries × k × n_blocks rows)
+    partials = partials.sort_values(
+        ["query_idx", "cosine", "id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_idx").cumcount()
+    return top
+
+
+def fit_centroids(
+    ds: Dataset,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.25,
+    iterations: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded mini k-means on a sample (driver-side numpy; the sample is
+    small by construction)."""
+    sample = ds.random_sample(sample_fraction, seed=seed).to_pandas()
+    mat = _normalize(_stack(sample[vec_col]))
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iterations):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k: only rows whose centroid is among the query's
+    nprobe closest lists are scored. Same output schema as brute force."""
+    centroids = fit_centroids(ds, n_centroids, vec_col, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    allowed = [set(row.tolist()) for row in probe_lists]
+    state_ref = ray.put((q, centroids, allowed))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, cents, allow = get_broadcast(state_ref)
+        mat = _normalize(_stack(batch[vec_col]))
+        assign = (mat @ cents.T).argmax(axis=1)
+        ids = batch[id_col].to_numpy()
+        sims = qm @ mat.T
+        out = {"query_idx": [], "id": [], "cosine": []}
+        for qi in range(len(qm)):
+            mask = np.fromiter(
+                (assign[j] in allow[qi] for j in range(len(ids))),
+                dtype=bool, count=len(ids),
+            )
+            if not mask.any():
+                continue
+            cand = np.where(mask)[0]
+            kk = min(k, len(cand))
+            top = cand[np.argpartition(-sims[qi, cand], kth=kk - 1)[:kk]]
+            for j in top:
+                out["query_idx"].append(qi)
+                out["id"].append(ids[j])
+                out["cosine"].append(float(sims[qi, j]))
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_idx", "cosine", "id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_idx").cumcount()
+    return top

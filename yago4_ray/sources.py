@@ -1,0 +1,234 @@
+"""Sources and sinks.
+
+- Predicate-partitioned Parquet *statement store*: the distributed
+  replacement for the reference's RocksDB (predicate, subject, object)
+  index (partitioned_statements.rs:19-128). "Scan a predicate" becomes a
+  partition-pruned `read_parquet` of that predicate's directory — no KV
+  store, no index build; the write is a one-shot partitioned
+  `write_parquet`.
+- N-Triples (.nt / .nt.gz) reader and writer (reference:
+  partitioned_statements.rs:82-128 and plan.rs:2314-2358), expressed as
+  `read_text` + vectorized parse and a custom gz Datasink.
+- Interleaved-documents reader: Lance when the `lance` package is
+  available, Parquet otherwise (same Arrow schema either way).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data import Dataset
+from ray.data.block import Block, BlockAccessor
+from ray.data.datasource import Datasink
+
+from . import terms as T
+
+# ---------------------------------------------------------------------------
+# Statement store (predicate-partitioned parquet)
+# ---------------------------------------------------------------------------
+
+_KEY_SAFE_RE = re.compile(r"[^A-Za-z0-9]+")
+
+_COMMON_PREFIXES = [
+    ("http://www.wikidata.org/prop/direct/", "wdt_"),
+    ("http://www.wikidata.org/prop/statement/value/", "psv_"),
+    ("http://www.wikidata.org/prop/statement/", "ps_"),
+    ("http://www.wikidata.org/prop/qualifier/value/", "pqv_"),
+    ("http://www.wikidata.org/prop/qualifier/", "pq_"),
+    ("http://www.wikidata.org/prop/", "p_"),
+    ("http://wikiba.se/ontology#", "wikibase_"),
+    ("http://schema.org/", "schema_"),
+    ("http://www.w3.org/2004/02/skos/core#", "skos_"),
+    ("http://www.w3.org/1999/02/22-rdf-syntax-ns#", "rdf_"),
+]
+
+
+def predicate_key(predicate_term: str) -> str:
+    """Deterministic filesystem-safe partition key for a predicate IRI.
+    Collisions are tolerated: scans re-filter on the exact predicate."""
+    v = T.iri_value(predicate_term) if predicate_term.startswith("<") else predicate_term
+    for prefix, short in _COMMON_PREFIXES:
+        if v.startswith(prefix):
+            return short + _KEY_SAFE_RE.sub("_", v[len(prefix):])
+    return _KEY_SAFE_RE.sub("_", v)[-80:]
+
+
+def write_statement_store(ds: Dataset, root: str, dedup: bool = True) -> None:
+    """Partition a (subject, predicate, object) Dataset by predicate.
+    Each block is split by predicate at write time via hive partitioning
+    (`partition_cols`), replacing the reference's single-threaded RocksDB
+    load (partitioned_statements.rs:92-128). `dedup` replicates the
+    index's key-uniqueness (one row per distinct triple) — a full-triple
+    hash partition, skew-free even for hub subjects."""
+    if dedup:
+        from .joins import distinct_rows
+
+        ds = distinct_rows(ds, ["subject", "predicate", "object"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = pa.array(
+            [predicate_key(p) for p in batch["predicate"].to_pylist()],
+            pa.string(),
+        )
+        return batch.append_column("pred_key", keys)
+
+    ds.map_batches(add_key, batch_format="pyarrow").write_parquet(
+        root, partition_cols=["pred_key"]
+    )
+
+
+def scan_predicate(
+    root: str,
+    predicates: str | list[str],
+    columns: list[str] | None = None,
+) -> Dataset:
+    """All (subject, object[, predicate]) rows for the given predicate
+    term(s); partition-pruned read (replaces the RocksDB prefix seek,
+    partitioned_statements.rs:39-48). Missing predicates yield no rows."""
+    preds = [predicates] if isinstance(predicates, str) else list(predicates)
+    paths = []
+    for key in sorted({predicate_key(p) for p in preds}):
+        path = os.path.join(root, f"pred_key={key}")
+        if os.path.isdir(path):
+            # expand to files: read_parquet doesn't expand a *list* of dirs
+            paths.extend(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {"subject": pa.array([], pa.string()),
+                 "predicate": pa.array([], pa.string()),
+                 "object": pa.array([], pa.string())}
+            )
+        )
+    ds = ray.data.read_parquet(paths, columns=["subject", "predicate", "object"])
+    pred_set = set(preds)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["predicate"], pa.array(list(pred_set)))),
+        batch_format="pyarrow",
+    )
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# N-Triples
+# ---------------------------------------------------------------------------
+
+def parse_ntriples_batch(batch: pa.Table) -> pa.Table:
+    """'text' lines → (subject, predicate, object); bad lines dropped
+    (tolerant load, partitioned_statements.rs:82-128)."""
+    subjects, predicates, objects = [], [], []
+    for line in batch["text"].to_pylist():
+        row = T.parse_ntriples_line(line)
+        if row is not None:
+            subjects.append(row[0])
+            predicates.append(row[1])
+            objects.append(row[2])
+    return pa.table(
+        {"subject": pa.array(subjects, pa.string()),
+         "predicate": pa.array(predicates, pa.string()),
+         "object": pa.array(objects, pa.string())}
+    )
+
+
+def read_ntriples(paths: str | list[str]) -> Dataset:
+    """Streaming N-Triples(.gz) → (subject, predicate, object) Dataset."""
+    return ray.data.read_text(paths).map_batches(
+        parse_ntriples_batch, batch_format="pyarrow"
+    )
+
+
+class NTriplesGzDatasink(Datasink):
+    """Writes one part-NNNNN.nt.gz per task: rows must have columns
+    (subject, predicate, object) and optionally (annotation_predicate,
+    annotation_object) for RDF* lines (plan.rs:2314-2358, model.rs:51-63)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def on_write_start(self):
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, blocks, ctx):
+        idx = ctx.task_idx
+        out = os.path.join(self.path, f"part-{idx:05d}.nt.gz")
+        tmp = out + ".tmp"
+        with gzip.open(tmp, "wt", encoding="utf-8", compresslevel=1) as f:
+            for block in blocks:
+                table = BlockAccessor.for_block(block).to_arrow()
+                names = table.column_names
+                annotated = "annotation_predicate" in names
+                cols = [table[c].to_pylist() for c in ("subject", "predicate", "object")]
+                if annotated:
+                    aps = table["annotation_predicate"].to_pylist()
+                    aos = table["annotation_object"].to_pylist()
+                    for s, p, o, ap, ao in zip(*cols, aps, aos):
+                        if ap:
+                            f.write(T.format_annotated_triple(s, p, o, ap, ao) + "\n")
+                        else:
+                            f.write(T.format_triple(s, p, o) + "\n")
+                else:
+                    for s, p, o in zip(*cols):
+                        f.write(T.format_triple(s, p, o) + "\n")
+        os.replace(tmp, out)  # atomic per-partition write → resumable
+        return "ok"
+
+
+def write_ntriples(ds: Dataset, path: str, sort: bool = True) -> None:
+    """Deterministic N-Triples output: subject-sorted partitions (our
+    addition over the reference's unordered HashMap output — SURVEY §2.6)."""
+    if sort:
+        cols = ds.schema().names
+        keys = [c for c in ("subject", "predicate", "object") if c in cols]
+        ds = ds.sort(keys)
+    ds.write_datasink(NTriplesGzDatasink(path))
+
+
+# ---------------------------------------------------------------------------
+# Documents (interleaved text+media)
+# ---------------------------------------------------------------------------
+
+def read_documents(path: str) -> Dataset:
+    """Read the interleaved corpus (doc_id, spans list<struct>).
+    Prefers Lance (the input_hint's table format) when the package is
+    present; falls back to Parquet with the identical Arrow schema."""
+    try:
+        import lance  # noqa: F401
+
+        if os.path.isdir(path) and path.endswith(".lance"):
+            return ray.data.read_lance(path)
+    except ImportError:
+        pass
+    if os.path.isdir(path):
+        path = os.path.join(path, "documents.parquet")
+    return ray.data.read_parquet(path)
+
+
+def span_signature_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, span_sig) where span_sig is a stable hash of the ordered
+    (kind, text, media_ref, offset) sequence — the per-row invariant the
+    input_hint requires every stage to preserve."""
+    import hashlib
+
+    doc_ids = batch["doc_id"].to_pylist()
+    sigs = []
+    for spans in batch["spans"].to_pylist():
+        h = hashlib.sha1()
+        for s in spans or []:
+            h.update(
+                f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}\x00{s['offset']}\x01".encode()
+            )
+        sigs.append(h.hexdigest())
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()), "span_sig": pa.array(sigs, pa.string())}
+    )

@@ -1,0 +1,542 @@
+"""Build-state construction: the shared read-only state of a build.
+
+Mirrors the reference's driver prep (plan.rs:64-101): the
+Wikidata→enwiki mapping (ST5), the Wikidata→YAGO URI mapping (ST2, the
+4-source priority merge of plan.rs:227-382), the class machinery
+(plan.rs:401-638) and the per-shape instance sets (plan.rs:641-731).
+
+Ray-native split of labor:
+- *Instance-scale* relations (rdf:type items, sitelinks, labels, P31)
+  are scanned and reduced with Dataset ops — the URI-mapping priority
+  merge is ONE `groupby(qid)` instead of three anti-joins (SURVEY J7),
+  and shape-instance construction + disjoint-instance removal is ONE
+  `groupby(instance)` (SURVEY G5).
+- *Class-graph-scale* data (P279 edges, per-class instance counts) is
+  collected to the driver and closed with plain Python (SURVEY G1-G4):
+  even full Wikidata's class graph is a few M edges.
+
+The resulting state is small relative to the fact volume and is
+broadcast to fact-pipeline workers (`ray.put` once, cached per worker
+process). At 10^12-doc scale the uri_mapping/instance sets outgrow a
+single broadcast object; the same call sites then switch to
+`joins.hash_join` against the Datasets kept in `self.datasets` —
+both representations are produced here.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from dataclasses import dataclass, field
+from urllib.parse import unquote
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from . import graph as G
+from . import terms as T
+from .joins import get_broadcast
+from .schema import Schema
+from .sources import scan_predicate
+
+ENWIKI_PREFIX = "https://en.wikipedia.org/wiki/"
+
+
+class Stats:
+    """Build counters, written as stats.tsv (plan.rs:2361-2409)."""
+
+    def __init__(self):
+        self._data: dict[str, dict[str, int]] = defaultdict(dict)
+
+    def set_global(self, key: str, value: int):
+        self.set_local(key, "*", value)
+
+    def set_local(self, key: str, entry: str, value: int):
+        self._data[key].setdefault(str(entry), int(value))
+
+    def add_local(self, key: str, entry: str, value: int):
+        entry = str(entry)
+        self._data[key][entry] = self._data[key].get(entry, 0) + int(value)
+
+    def write(self, path: str):
+        with open(path, "w") as f:
+            for key in sorted(self._data):
+                values = self._data[key]
+                if len(values) > 1 and "*" not in values:
+                    f.write(f"{key}\t*\t{sum(values.values())}\n")
+                for entry in sorted(values):
+                    f.write(f"{key}\t{entry}\t{values[entry]}\n")
+
+
+@dataclass
+class BuildState:
+    schema: Schema
+    stats: Stats
+    enwiki_mapping: dict[str, str]  # wd term → enwiki URL
+    uri_mapping: dict[str, str]  # wd term → yago term
+    yago_classes: set[str]
+    wd_to_yago_class_mapping: dict[str, list[str]]
+    yago_super_class_of: dict[str, list[str]]
+    shape_instances: dict[str, set[str]]  # target class term → instance terms
+    datasets: dict[str, Dataset] = field(default_factory=dict)
+
+    # broadcast refs, created lazily
+    _refs: dict[str, "ray.ObjectRef"] = field(default_factory=dict)
+
+    def ref(self, name: str) -> "ray.ObjectRef":
+        if name not in self._refs:
+            obj = getattr(self, name)
+            self._refs[name] = ray.put(obj)
+        return self._refs[name]
+
+    def things(self) -> set[str]:
+        return self.shape_instances.get(T.SCHEMA_THING, set())
+
+
+# ---------------------------------------------------------------------------
+# ST5: Wikidata → English Wikipedia
+# ---------------------------------------------------------------------------
+
+def build_enwiki_mapping(root: str) -> dict[str, str]:
+    """schema:about sitelinks restricted to en.wikipedia (plan.rs:206-223)."""
+    ds = scan_predicate(root, T.SCHEMA_ABOUT)
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        urls = batch["subject"].str.slice(1, -1)
+        mask = urls.str.startswith(ENWIKI_PREFIX) & batch["subject"].str.startswith("<")
+        out = batch[mask]
+        return pd.DataFrame({"item": out["object"], "url": urls[mask]})
+
+    pairs = ds.map_batches(extract, batch_format="pandas").to_pandas()
+    return dict(zip(pairs["item"], pairs["url"]))
+
+
+# ---------------------------------------------------------------------------
+# ST2: Wikidata → YAGO URI mapping (priority merge as ONE groupby)
+# ---------------------------------------------------------------------------
+
+def build_uri_mapping(
+    root: str,
+    schema: Schema,
+    stats: Stats,
+    size: str = "full",
+) -> tuple[dict[str, str], Dataset]:
+    """4-source priority merge (plan.rs:227-382) as a single
+    `groupby(item)`:
+
+    priority 0: shape ys:fromClass → schema.org class IRI
+    priority 1: English-Wikipedia title IRI
+    priority 2: English label + _Q{id}
+    priority 3 (computed in-group): _Q{id} fallback
+
+    Wikipedia/label/fallback candidates only count for *kept* items
+    (marker rows); shape-class entries always win unconditionally.
+    Returns (driver dict, Dataset) — the Dataset is the scale path.
+    """
+    # marker rows: which items exist / are kept under the flavor
+    if size == "full":
+        items = scan_predicate(root, T.RDF_TYPE)
+        items = items.map_batches(
+            lambda b: b[b["object"] == T.WIKIBASE_ITEM][["subject"]],
+            batch_format="pandas",
+        )
+    else:
+        sitelinks = scan_predicate(root, T.SCHEMA_ABOUT)
+        needle = (
+            ENWIKI_PREFIX if size == "en-wikipedia" else ".wikipedia.org/wiki/"
+        )
+
+        def from_links(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["subject"].str.contains(needle, regex=False)
+            return pd.DataFrame({"subject": batch[mask]["object"]})
+
+        items = sitelinks.map_batches(from_links, batch_format="pandas")
+
+    mandatory = ray.data.from_pandas(
+        pd.DataFrame({"subject": list(T.MANDATORY_WD_ITEMS)})
+    )
+    markers = items.union(mandatory).map_batches(
+        lambda b: pd.DataFrame(
+            {"item": b["subject"], "priority": 99, "uri": ""}
+        ),
+        batch_format="pandas",
+    )
+
+    # priority 0: from schema shapes (driver-side, tiny)
+    from_schema = {}
+    for shape in schema.node_shapes():
+        for from_class in shape.from_classes:
+            from_schema[from_class] = shape.target_class
+    schema_rows = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "item": list(from_schema),
+                "priority": [0] * len(from_schema),
+                "uri": list(from_schema.values()),
+            }
+        )
+    )
+
+    # priority 1: enwiki titles
+    sitelinks = scan_predicate(root, T.SCHEMA_ABOUT)
+
+    def wiki_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        urls = batch["subject"].str.slice(1, -1)
+        mask = urls.str.startswith(ENWIKI_PREFIX)
+        items_col = batch[mask]["object"]
+        uris = [
+            T.iri(
+                T.YAGO_RESOURCE_PREFIX
+                + T.encode_iri_path(unquote(u[len(ENWIKI_PREFIX):]))
+            )
+            for u in urls[mask]
+        ]
+        return pd.DataFrame({"item": items_col, "priority": 1, "uri": uris})
+
+    wiki_rows = sitelinks.map_batches(wiki_candidates, batch_format="pandas")
+
+    # priority 2: english labels
+    labels = scan_predicate(root, T.SKOS_PREF_LABEL)
+
+    def label_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = batch["object"].str.endswith('"@en')
+        sub = batch[mask]
+        out_items, out_uris = [], []
+        for item, label_term in zip(sub["subject"], sub["object"]):
+            qid = T.qid_of(item)
+            if qid is None:
+                continue
+            value = T.literal_value(label_term)
+            out_items.append(item)
+            out_uris.append(
+                T.iri(
+                    f"{T.YAGO_RESOURCE_PREFIX}{T.encode_iri_path(value)}_{qid}"
+                )
+            )
+        return pd.DataFrame({"item": out_items, "priority": 2, "uri": out_uris})
+
+    label_rows = labels.map_batches(label_candidates, batch_format="pandas")
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        item = group["item"].iloc[0]
+        best = group["priority"].min()
+        if best == 0:
+            uri = group[group["priority"] == 0]["uri"].iloc[0]
+        elif 99 not in group["priority"].values:
+            return pd.DataFrame({"item": [], "uri": []})  # not a kept item
+        elif best < 99:
+            cands = group[group["priority"] == best]
+            uri = sorted(cands["uri"])[0]
+        else:  # only the marker: fallback _Q{id}
+            qid = T.qid_of(item)
+            if qid is None:
+                return pd.DataFrame({"item": [], "uri": []})
+            uri = T.iri(f"{T.YAGO_RESOURCE_PREFIX}_{qid}")
+        return pd.DataFrame({"item": [item], "uri": [uri]})
+
+    merged = (
+        schema_rows.union(wiki_rows, label_rows, markers)
+        .groupby("item")
+        .map_groups(merge_group, batch_format="pandas")
+    )
+    pairs = merged.to_pandas()
+    mapping = dict(zip(pairs["item"], pairs["uri"]))
+    stats.set_global("Total URI mapping size", len(mapping))
+    return mapping, merged
+
+
+# ---------------------------------------------------------------------------
+# Class machinery (driver-side closures over the class graph)
+# ---------------------------------------------------------------------------
+
+def subclass_of_from_yago_schema(schema: Schema) -> list[tuple[str, str]]:
+    """Schema-side subclass edges with the Intangible/StructuredValue
+    rewrites (plan.rs:2225-2248)."""
+    edges = []
+    for shape in schema.node_shapes():
+        cls = schema.rdfs_class(shape.target_class)
+        if cls is None:
+            continue
+        for super_class in cls.super_classes:
+            if super_class in (T.SCHEMA_INTANGIBLE, T.SCHEMA_MEDICAL_INTANGIBLE):
+                edges.append((cls.id, T.SCHEMA_THING))
+            elif super_class in (T.SCHEMA_STRUCTURED_VALUE, T.SCHEMA_SERIES):
+                continue
+            else:
+                edges.append((cls.id, super_class))
+    return edges
+
+
+def build_class_machinery(
+    root: str,
+    schema: Schema,
+    stats: Stats,
+    uri_mapping: dict[str, str],
+    enwiki_mapping: dict[str, str],
+) -> tuple[set[str], dict[str, list[str]], dict[str, list[str]]]:
+    """The 7-step class algorithm of plan.rs:384-614. P279 edges and
+    per-class instance counts come from two Dataset reductions; the
+    closures run on the driver."""
+    from_classes = [
+        fc for shape in schema.node_shapes() for fc in shape.from_classes
+    ]
+
+    # P279 edge list (class-graph scale → driver)
+    p279 = scan_predicate(root, f"<{T.WDT}P279>").to_pandas()
+    all_sub_class_of = list(zip(p279["subject"], p279["object"]))
+    stats.set_global("Wikidata sub class of", len(all_sub_class_of))
+
+    # mapped classes keep only schema-side superclasses (plan.rs:433-436)
+    sub_class_of = G.edge_map(
+        (s, o) for s, o in all_sub_class_of if s not in from_classes
+    )
+    super_class_of = G.invert(sub_class_of)
+
+    # per-class direct-instance counts: distributed combiner + tiny reduce
+    p31 = scan_predicate(root, f"<{T.WDT}P31>")
+    counts_df = (
+        p31.map_batches(
+            lambda b: b.groupby("object", as_index=False)
+            .agg(n=("subject", "nunique")),
+            batch_format="pandas",
+        )
+        .groupby("object")
+        .sum("n")
+        .to_pandas()
+    )
+    count_col = "sum(n)" if "sum(n)" in counts_df.columns else "n"
+    instance_counts = dict(zip(counts_df["object"], counts_df[count_col]))
+
+    bad_classes = G.transitive_closure(T.WD_BAD_CLASSES, super_class_of)
+    stats.set_global("bad classes", len(bad_classes))
+
+    mapped_subclasses = G.transitive_closure(from_classes, super_class_of)
+    stats.set_global(
+        "Wikidata classes subclass of a mapped class", len(mapped_subclasses)
+    )
+
+    # classes below two disjoint mapped trees (plan.rs:478-497)
+    subclasses_of_disjoint: set[str] = set()
+    for cls in schema.classes():
+        shape1 = schema.node_shape(cls.id)
+        for other in cls.disjoint_classes:
+            shape2 = schema.node_shape(other)
+            for wd1 in shape1.from_classes:
+                for wd2 in shape2.from_classes:
+                    c1 = G.transitive_closure([wd1], super_class_of)
+                    c2 = G.transitive_closure([wd2], super_class_of)
+                    subclasses_of_disjoint |= c1 & c2
+    stats.set_global("Not disjoint classes", len(subclasses_of_disjoint))
+
+    with_min_instances = {
+        c
+        for c, n in instance_counts.items()
+        if n >= T.MIN_NUMBER_OF_INSTANCES
+    }
+    stats.set_global("classes with at least 10 instances", len(with_min_instances))
+
+    classes_to_keep = {
+        c
+        for c in mapped_subclasses & with_min_instances
+        if c not in bad_classes and c not in subclasses_of_disjoint
+    } | set(from_classes)
+    stats.set_global(
+        "Wikidata classes used for the instance of extraction", len(classes_to_keep)
+    )
+
+    classes_to_keep_for_yago = {
+        c for c in classes_to_keep if c in enwiki_mapping
+    } | set(from_classes)
+    stats.set_global(
+        "Wikidata classes kept for Yago", len(classes_to_keep_for_yago)
+    )
+
+    # YAGO subclass graph: closure up to mapped classes, then URI-mapped
+    closure_pairs = G.transitive_closure_pairs(
+        (
+            (s, o)
+            for s, vs in sub_class_of.items()
+            if s in classes_to_keep_for_yago
+            for o in vs
+        ),
+        sub_class_of,
+    )
+    yago_sub_class_of_pairs = [
+        (uri_mapping[k], uri_mapping[v])
+        for k, vs in closure_pairs.items()
+        for v in vs
+        if v in from_classes and k in uri_mapping and v in uri_mapping
+    ]
+    yago_sub_class_of_pairs.extend(subclass_of_from_yago_schema(schema))
+    yago_sub_class_of = G.edge_map(yago_sub_class_of_pairs)
+    yago_super_class_of_raw = G.invert(yago_sub_class_of)
+    yago_super_class_of = G.filter_redundant_parents(
+        yago_super_class_of_raw, yago_sub_class_of
+    )
+    stats.set_global(
+        "sub class of relations in Yago",
+        sum(len(v) for v in yago_super_class_of.values()),
+    )
+
+    # Wikidata class → YAGO class mapping (plan.rs:578-601)
+    identity = [(c, c) for c in classes_to_keep_for_yago]
+    lifted = G.transitive_closure_pairs(
+        ((c, c) for c in classes_to_keep - classes_to_keep_for_yago),
+        sub_class_of,
+    )
+    lifted_pairs = [
+        (k, v) for k, vs in lifted.items() for v in vs if v in from_classes
+    ]
+    mapping_pairs = [
+        (k, uri_mapping[v])
+        for k, v in identity + lifted_pairs
+        if v in uri_mapping
+    ]
+    wd_to_yago_class_mapping = G.filter_redundant_parents(
+        G.edge_map(mapping_pairs), yago_super_class_of
+    )
+
+    yago_classes = {
+        uri_mapping[c] for c in classes_to_keep_for_yago if c in uri_mapping
+    }
+    return yago_classes, wd_to_yago_class_mapping, yago_super_class_of
+
+
+# ---------------------------------------------------------------------------
+# ST3: shape instances (one shuffle incl. disjoint-instance removal)
+# ---------------------------------------------------------------------------
+
+def build_shape_instances(
+    root: str,
+    schema: Schema,
+    stats: Stats,
+    wd_to_yago_class_mapping: dict[str, list[str]],
+    yago_super_class_of: dict[str, list[str]],
+    yago_classes: set[str],
+    uri_mapping: dict[str, str],
+) -> tuple[dict[str, set[str]], Dataset]:
+    """plan.rs:641-731 as: P31 scan → class-map flat join (broadcast the
+    class mapping: class-graph scale) → shape fan-out → ONE
+    groupby(instance) doing dedup + disjoint-instance removal."""
+    # yago class → shapes whose closure contains it (driver, tiny)
+    shape_targets = [s.target_class for s in schema.node_shapes()]
+    class_to_shapes: dict[str, list[str]] = defaultdict(list)
+    for target in shape_targets:
+        for cls in G.transitive_closure([target], yago_super_class_of):
+            class_to_shapes[cls].append(target)
+
+    # wd class → shape list via the yago class mapping
+    wd_class_to_shapes: dict[str, list[str]] = {}
+    for wd_class, yago_cls_list in wd_to_yago_class_mapping.items():
+        shapes = []
+        for yc in yago_cls_list:
+            shapes.extend(class_to_shapes.get(yc, ()))
+        if shapes:
+            wd_class_to_shapes[wd_class] = sorted(set(shapes))
+
+    # disjoint target-class pairs (both directions)
+    disjoint_pairs: set[tuple[str, str]] = set()
+    for cls in schema.classes():
+        for other in cls.disjoint_classes:
+            disjoint_pairs.add((cls.id, other))
+            disjoint_pairs.add((other, cls.id))
+
+    refs = {
+        "wd_class_to_shapes": ray.put(wd_class_to_shapes),
+        "uri_mapping": ray.put(uri_mapping),
+        "yago_classes": ray.put(yago_classes),
+        "disjoint_pairs": ray.put(disjoint_pairs),
+    }
+
+    p31 = scan_predicate(root, f"<{T.WDT}P31>")
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        class_map = get_broadcast(refs["wd_class_to_shapes"])
+        uris = get_broadcast(refs["uri_mapping"])
+        classes = get_broadcast(refs["yago_classes"])
+        out_shape, out_instance = [], []
+        for instance_wd, class_wd in zip(batch["subject"], batch["object"]):
+            shapes = class_map.get(class_wd)
+            if not shapes:
+                continue
+            instance = uris.get(instance_wd)
+            if instance is None or instance in classes:
+                continue  # "we do not want classes" (plan.rs:686)
+            for shape in shapes:
+                out_shape.append(shape)
+                out_instance.append(instance)
+        return pd.DataFrame({"shape": out_shape, "instance": out_instance})
+
+    fanned = p31.map_batches(fan_out, batch_format="pandas")
+
+    def resolve_instance(group: pd.DataFrame) -> pd.DataFrame:
+        """Dedup shapes for one instance; drop the instance entirely when
+        it belongs to two disjoint shapes (plan.rs:692-730)."""
+        pairs = get_broadcast(refs["disjoint_pairs"])
+        shapes = sorted(set(group["shape"]))
+        shape_set = set(shapes)
+        for a, b in pairs:
+            if a in shape_set and b in shape_set:
+                return group.iloc[0:0]
+        return pd.DataFrame(
+            {"shape": shapes, "instance": [group["instance"].iloc[0]] * len(shapes)}
+        )
+
+    resolved = fanned.groupby("instance").map_groups(
+        resolve_instance, batch_format="pandas"
+    )
+
+    result = resolved.to_pandas()
+    shape_instances: dict[str, set[str]] = {t: set() for t in shape_targets}
+    for shape, instance in zip(result["shape"], result["instance"]):
+        shape_instances.setdefault(shape, set()).add(instance)
+    for shape, instances in shape_instances.items():
+        stats.set_local("Instances of a shape", shape, len(instances))
+    return shape_instances, resolved
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+def build_state(
+    statements_root: str,
+    schema: Schema | None = None,
+    size: str = "full",
+) -> BuildState:
+    schema = schema or Schema.open()
+    stats = Stats()
+    enwiki_mapping = build_enwiki_mapping(statements_root)
+    stats.set_global(
+        "Wikidata items mapped to English Wikipedia articles", len(enwiki_mapping)
+    )
+    uri_mapping, uri_ds = build_uri_mapping(statements_root, schema, stats, size)
+    yago_classes, wd_to_yago_class_mapping, yago_super_class_of = (
+        build_class_machinery(
+            statements_root, schema, stats, uri_mapping, enwiki_mapping
+        )
+    )
+    shape_instances, inst_ds = build_shape_instances(
+        statements_root,
+        schema,
+        stats,
+        wd_to_yago_class_mapping,
+        yago_super_class_of,
+        yago_classes,
+        uri_mapping,
+    )
+    state = BuildState(
+        schema=schema,
+        stats=stats,
+        enwiki_mapping=enwiki_mapping,
+        uri_mapping=uri_mapping,
+        yago_classes=yago_classes,
+        wd_to_yago_class_mapping=wd_to_yago_class_mapping,
+        yago_super_class_of=yago_super_class_of,
+        shape_instances=shape_instances,
+    )
+    state.datasets["uri_mapping"] = uri_ds
+    state.datasets["shape_instances"] = inst_ds
+    return state
