@@ -1,0 +1,183 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "throughput": {...rows/s...}}
+
+--scaling: runs the same bench in two fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
+node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+
+    from yago4_ray import queries as Q
+    from yago4_ray.build import generate_yago
+    from yago4_ray.corpus import materialize_corpus
+    from yago4_ray.extract import extract_statements
+    from yago4_ray.sources import write_statement_store
+    from yago4_ray.state import build_state
+
+    sf = _sf_tag(SF_DIR)
+    n_entities = {"sf0.001": 600, "sf0.01": 2500, "sf0.1": 20000}.get(sf, 2500)
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    # untimed: corpus synthesis (cached) + OS page-cache warm-up read
+    corpus_dir = materialize_corpus(n_entities=n_entities, seed=42)
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+    n_docs = pq.read_metadata(os.path.join(corpus_dir, "documents.parquet")).num_rows
+    n_statements = pq.read_metadata(
+        os.path.join(corpus_dir, "statements.parquet")
+    ).num_rows
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. ingest: partition the statement dump into the predicate store
+    store = f"/tmp/yago4_bench_store_{os.getpid()}"
+    shutil.rmtree(store, ignore_errors=True)
+
+    def ingest():
+        ds = ray.data.read_parquet(os.path.join(corpus_dir, "statements.parquet"))
+        write_statement_store(ds, store)
+
+    timed("ingest_partition", ingest)
+    throughput["ingest_statements_per_s"] = round(
+        n_statements / timings["ingest_partition"], 1
+    )
+
+    # 2. extraction: docs → linked statements (actor pool)
+    dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
+
+    def extract():
+        docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+        statements, _ = extract_statements(
+            docs, dictionary, concurrency=max(2, NUM_CPUS // 4)
+        )
+        return statements.count()
+
+    n_extracted = timed("extract", extract)
+    throughput["extract_docs_per_s"] = round(n_docs / timings["extract"], 1)
+
+    # 3. the KG build (state + all outputs consumed)
+    def build():
+        state = build_state(store)
+        outputs = generate_yago(store, state=state, write=False)
+        return sum(ds.count() for ds in outputs.values())
+
+    n_triples = timed("kg_build", build)
+    throughput["build_triples_per_s"] = round(n_triples / timings["kg_build"], 1)
+
+    # 4. representative SQL-matched queries over testdata
+    for name in ("q1_lineitem_agg", "q3_revenue_by_nation", "q7_hourly_user_activity"):
+        fn = Q.QUERIES[name]
+        timed(name, lambda fn=fn: fn(SF_DIR).to_pandas())
+
+    # 5. dataops: dedup + similarity + text stats
+    timed("dedup_minhash", lambda: Q.dedup_minhash_docs(SF_DIR).to_pandas())
+    timed("sim_topk_brute", lambda: Q.sim_topk_brute(SF_DIR))
+    timed("text_stats", lambda: Q.text_stats_docs(SF_DIR).to_pandas())
+
+    shutil.rmtree(store, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "yago4_ray headline pipelines (ingest+extract+build+queries+dataops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "throughput": throughput,
+        "rows": {
+            "docs": n_docs,
+            "statements": n_statements,
+            "extracted": n_extracted,
+            "output_triples": n_triples,
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    # scaling efficiency on the parallel core (pipeline stages), computed
+    # from wall time: eff = (t_lo / t_hi) / (hi/lo); 1.0 = linear
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    result = {
+        "metric": "scaling efficiency (8 → 32 CPUs, fresh sessions, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "throughput_8": lo["throughput"],
+        "throughput_32": hi["throughput"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

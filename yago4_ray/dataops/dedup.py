@@ -65,7 +65,6 @@ def exact_dedup(
         ds.map_batches(add_hash, batch_format="pandas")
         .groupby("__h")
         .map_groups(reduce_group, batch_format="pandas")
-        .drop_columns(["__h"])
     )
 
 

@@ -1,0 +1,599 @@
+"""Driver-facing query implementations over the testdata tables and the
+synthetic KG corpus.
+
+Two families:
+- SQL-matched queries (q*): each has a DuckDB oracle in
+  __ray_entry__.oracle_sql(); value-hash-compared at sf0.01. Aggregates
+  on monetary/float columns are computed in integer cents so Ray and
+  DuckDB agree bit-exactly regardless of summation order.
+- KG / dataops queries (kg_*, dedup_*, sim_*, text_*): rows-only checks
+  (non-SQL-expressible); correctness is covered by the pytest golden
+  oracle instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_CENTS = 100
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-matched queries
+# ---------------------------------------------------------------------------
+
+def q1_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary; money in integer cents."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], _CENTS)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], _CENTS)), pa.int64())
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty,
+            "price_cents": price_c,
+            "disc_cents": disc_c,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+def q2_orders_by_status(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], _CENTS)), pa.int64()
+            ),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Min("price_cents", alias_name="min_price_cents"),
+            Max("price_cents", alias_name="max_price_cents"),
+        )
+    )
+
+
+def q3_revenue_by_nation(sf_dir: str):
+    """customer ⨝ orders ⨝ nation → order count + revenue per nation.
+    Small dims (customer, nation) broadcast; the big side streams."""
+    import ray
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nations = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_nation = dict(zip(customers["c_custkey"], customers["c_nationkey"]))
+    nation_name = dict(zip(nations["n_nationkey"], nations["n_name"]))
+    ref = ray.put((cust_nation, nation_name))
+    from .joins import get_broadcast
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        cn, nn = get_broadcast(ref)
+        nk = df["o_custkey"].map(cn)
+        out = pd.DataFrame({
+            "n_name": nk.map(nn),
+            "price_cents": (df["o_totalprice"] * _CENTS).round().astype("int64"),
+        })
+        return out[out["n_name"].notna()]
+
+    return (
+        orders.map_batches(join_batch, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+def q4_top_parts_by_quantity(sf_dir: str):
+    """Top 10 parts by shipped quantity (groupby + sort + limit)."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+    )
+    top = agg.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
+    return top
+
+
+def q5_event_type_users(sf_dir: str):
+    """Distinct users + row counts per event type (exact distinct)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["event_type", "user_id"], as_index=False)
+            .agg(n=("user_id", "size"))
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": [g["user_id"].nunique()],
+            "n_events": [int(g["n"].sum())],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def q6_filtered_lineitems(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.less(t["l_quantity"], pa.scalar(25.0)),
+        )
+        t = t.filter(mask)
+        revenue = pc.multiply(
+            pc.multiply(t["l_extendedprice"], t["l_discount"]), 10000
+        )
+        return pa.table({
+            "revenue_ten_thousandths": pc.cast(pc.round(revenue), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("revenue_ten_thousandths", alias_name="revenue_sum"),
+        )
+    )
+
+
+def q7_hourly_user_activity(sf_dir: str):
+    """Events bucketed to epoch hours per user: stream-shaped workload
+    as a batch groupby (ray_guide streaming-shaped pattern)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "epoch_hour": df["ts"].astype("int64") // (3600 * 1_000_000),
+            "value_cents": (df["value"] * _CENTS).round().astype("int64"),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby(["user_id", "epoch_hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def q8_dedup_exact_docs(sf_dir: str):
+    """Exact text dedup over documents (SQL-expressible flavor)."""
+    from .dataops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id")
+
+
+def q9_token_counts(sf_dir: str):
+    """Whitespace token count per doc (empty text → 0)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        stripped = df["text"].astype(str).str.strip()
+        n = stripped.str.split(r"\s+", regex=True).map(len)
+        n = n.where(stripped != "", 0)
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n.astype("int64")})
+
+    return ds.map_batches(prep, batch_format="pandas")
+
+
+def q10_embedding_stats(sf_dir: str):
+    """Per-label embedding count + total dims (integer-only)."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "dims": pc.cast(pc.list_value_length(t["embedding"]), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"), Sum("dims", alias_name="total_dims"))
+    )
+
+
+def q11_supplier_region(sf_dir: str):
+    """lineitem ⨝ supplier ⨝ nation ⨝ region rollup (broadcast dims)."""
+    import ray
+
+    suppliers = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nations = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    regions = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    supp_nation = dict(zip(suppliers["s_suppkey"], suppliers["s_nationkey"]))
+    nation_region = dict(zip(nations["n_nationkey"], nations["n_regionkey"]))
+    region_name = dict(zip(regions["r_regionkey"], regions["r_name"]))
+    ref = ray.put((supp_nation, nation_region, region_name))
+    from .joins import get_broadcast
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sn, nr, rn = get_broadcast(ref)
+        region = df["l_suppkey"].map(sn).map(nr).map(rn)
+        out = pd.DataFrame({
+            "r_name": region,
+            "price_cents": (df["l_extendedprice"] * _CENTS).round().astype("int64"),
+        })
+        return out[out["r_name"].notna()]
+
+    return (
+        ds.map_batches(join_batch, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
+def q12_language_share(sf_dir: str):
+    """Docs + total chars per language tag (metadata column)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+SQL_ORACLES = {
+    "q1_lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q2_orders_by_status": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS min_price_cents,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_price_cents
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q3_revenue_by_nation": """
+        SELECT n.n_name AS n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "q4_top_parts_by_quantity": """
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY sum_qty DESC, l_partkey ASC LIMIT 10
+    """,
+    "q5_event_type_users": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "q6_filtered_lineitems": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_sum
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_quantity < 25
+    """,
+    "q7_hourly_user_activity": """
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY user_id, epoch_hour
+    """,
+    "q8_dedup_exact_docs": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+        FROM documents GROUP BY text
+    """,
+    "q9_token_counts": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    """,
+    "q10_embedding_stats": """
+        SELECT CAST(label AS BIGINT) AS label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS total_dims
+        FROM embeddings GROUP BY label
+    """,
+    "q11_supplier_region": """
+        SELECT r.r_name AS r_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "q12_language_share": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (rows-only checks; golden-tested in pytest)
+# ---------------------------------------------------------------------------
+
+_KG_CACHE: dict = {}
+
+
+def _kg_scale(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 600, "sf0.01": 2500, "sf0.1": 20000}.get(name, 600)
+
+
+def kg_context(sf_dir: str):
+    """Corpus + statement store + build state for this scale, cached per
+    process (the driver calls several kg_* queries per run)."""
+    n = _kg_scale(sf_dir)
+    if n in _KG_CACHE:
+        return _KG_CACHE[n]
+    from .corpus import materialize_corpus
+    from .sources import write_statement_store
+    from .state import build_state
+
+    corpus_dir = materialize_corpus(n_entities=n, seed=42)
+    store = os.path.join("/tmp/yago4_ray_cache", f"store_n{n}_s42")
+    marker = os.path.join(store, "_COMPLETE")
+    if not os.path.exists(marker):
+        ds = ray.data.read_parquet(os.path.join(corpus_dir, "statements.parquet"))
+        write_statement_store(ds, store)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    state = build_state(store)
+    _KG_CACHE[n] = (corpus_dir, store, state)
+    return _KG_CACHE[n]
+
+
+def kg_facts(sf_dir: str):
+    from .build import build_facts
+
+    _, store, state = kg_context(sf_dir)
+    facts, _ = build_facts(store, state)
+    return facts
+
+
+def kg_annotated_facts(sf_dir: str):
+    from .build import build_facts
+
+    _, store, state = kg_context(sf_dir)
+    _, annotated = build_facts(store, state)
+    return annotated
+
+
+def kg_labels(sf_dir: str):
+    from .build import build_labels
+
+    _, store, state = kg_context(sf_dir)
+    return build_labels(store, state)
+
+
+def kg_types(sf_dir: str):
+    from .build import build_full_types
+
+    _, store, state = kg_context(sf_dir)
+    return build_full_types(store, state)
+
+
+def kg_same_as(sf_dir: str):
+    from .build import build_same_as
+
+    _, store, state = kg_context(sf_dir)
+    return build_same_as(store, state)
+
+
+def kg_extract(sf_dir: str):
+    """Mention detection + entity linking over the interleaved docs."""
+    import pyarrow.parquet as pq
+
+    from .extract import extract_statements
+
+    corpus_dir, _, _ = kg_context(sf_dir)
+    docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+    dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
+    statements, _ = extract_statements(docs, dictionary, concurrency=4)
+    return statements
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text queries (rows-only)
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_docs(sf_dir: str):
+    from .dataops.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(ds, "text", "doc_id", threshold=0.8)
+
+
+def dedup_simhash_docs(sf_dir: str):
+    from .dataops.dedup import simhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_pairs(ds, "text", "doc_id")
+
+
+def dedup_embedding_pairs(sf_dir: str):
+    """Embedding near-dup detection. Random vectors are never near-dup,
+    so the query plants deterministic perturbed copies of the first 25
+    vectors (ids offset by 10^9) — the operator must recover exactly
+    those planted pairs."""
+    from .dataops.dedup import embedding_dedup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant_dupes(df: pd.DataFrame) -> pd.DataFrame:
+        dupes = df[df["vec_id"] < 25].copy()
+        if len(dupes):
+            dupes["vec_id"] = dupes["vec_id"] + 1_000_000_000
+            dupes["embedding"] = dupes["embedding"].map(
+                lambda v: (np.asarray(v, dtype=np.float32) * 1.01).tolist()
+            )
+        return pd.concat([df, dupes], ignore_index=True)
+
+    planted = ds.map_batches(plant_dupes, batch_format="pandas")
+    out = embedding_dedup_pairs(planted, "embedding", "vec_id", threshold=0.95)
+
+    def int_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": df["a"].astype("int64"), "b": df["b"].astype("int64")}
+        )
+
+    return out.map_batches(int_pairs, batch_format="pandas")
+
+
+def sim_topk_brute(sf_dir: str):
+    """Exact cosine top-10 for 4 fixed query vectors; id/rank only."""
+    from .dataops.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float32) for r in ds.take(4)]
+    )
+    top = brute_force_topk(ds, queries, k=10)
+    return top[["query_idx", "rank", "id"]]
+
+
+def sim_topk_ivf(sf_dir: str):
+    from .dataops.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float32) for r in ds.take(4)]
+    )
+    top = ivf_topk(ds, queries, k=10, n_centroids=16, nprobe=4)
+    return top[["query_idx", "rank", "id"]]
+
+
+def text_stats_docs(sf_dir: str):
+    from .dataops.textstats import text_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text_stats(ds, "text").select_columns(
+        ["doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality"]
+    )
+
+
+def media_decode_features(sf_dir: str):
+    """Multimodal plumbing: fake-decode media payloads derived from the
+    corpus' media refs (real codecs are stubbed in this container)."""
+    from .dataops.multimodal import decode_media, media_table_from_refs
+    from .extract import extract_statements
+    import pyarrow.parquet as pq
+
+    corpus_dir, _, _ = kg_context(sf_dir)
+    docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+    dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
+    _, media = extract_statements(docs, dictionary, concurrency=2)
+    refs = sorted(set(media.to_pandas()["media_ref"]))
+    table = media_table_from_refs(refs)
+    return decode_media(
+        ray.data.from_arrow(table).map_batches(lambda t: t, batch_format="pyarrow"),
+        decoder="fake",
+    ).drop_columns(["features"])
+
+
+QUERIES = {
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "q2_orders_by_status": q2_orders_by_status,
+    "q3_revenue_by_nation": q3_revenue_by_nation,
+    "q4_top_parts_by_quantity": q4_top_parts_by_quantity,
+    "q5_event_type_users": q5_event_type_users,
+    "q6_filtered_lineitems": q6_filtered_lineitems,
+    "q7_hourly_user_activity": q7_hourly_user_activity,
+    "q8_dedup_exact_docs": q8_dedup_exact_docs,
+    "q9_token_counts": q9_token_counts,
+    "q10_embedding_stats": q10_embedding_stats,
+    "q11_supplier_region": q11_supplier_region,
+    "q12_language_share": q12_language_share,
+    "kg_facts": kg_facts,
+    "kg_annotated_facts": kg_annotated_facts,
+    "kg_labels": kg_labels,
+    "kg_types": kg_types,
+    "kg_same_as": kg_same_as,
+    "kg_extract": kg_extract,
+    "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "sim_topk_brute": sim_topk_brute,
+    "sim_topk_ivf": sim_topk_ivf,
+    "text_stats_docs": text_stats_docs,
+    "media_decode_features": media_decode_features,
+}
