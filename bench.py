@@ -55,7 +55,7 @@ def run_bench() -> dict:
     from yago4_ray.state import build_state
 
     sf = _sf_tag(SF_DIR)
-    n_entities = {"sf0.001": 600, "sf0.01": 2500, "sf0.1": 20000}.get(sf, 2500)
+    n_entities = {"sf0.001": 600, "sf0.01": 2500, "sf0.1": 120000}.get(sf, 2500)
 
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
@@ -64,10 +64,17 @@ def run_bench() -> dict:
     corpus_dir = materialize_corpus(n_entities=n_entities, seed=42)
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
-    n_docs = pq.read_metadata(os.path.join(corpus_dir, "documents.parquet")).num_rows
-    n_statements = pq.read_metadata(
-        os.path.join(corpus_dir, "statements.parquet")
-    ).num_rows
+    def _num_rows(path: str) -> int:
+        if os.path.isdir(path):
+            return sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.read_metadata(path).num_rows
+
+    n_docs = _num_rows(os.path.join(corpus_dir, "documents.parquet"))
+    n_statements = _num_rows(os.path.join(corpus_dir, "statements.parquet"))
 
     def timed(name: str, fn):
         t0 = time.perf_counter()
@@ -103,9 +110,17 @@ def run_bench() -> dict:
 
     # 3. the KG build (state + all outputs consumed)
     def build():
+        from yago4_ray.build import OUTPUT_FILE_NAMES
+        from yago4_ray.checkpoint import read_manifest
+
         state = build_state(store)
-        outputs = generate_yago(store, state=state, write=False)
-        return sum(ds.count() for ds in outputs.values())
+        out_dir = store + "_out"
+        generate_yago(store, state=state, out_dir=out_dir, write=True)
+        # end-to-end: sorted, deduped, gzipped partitions on disk
+        return sum(
+            (read_manifest(os.path.join(out_dir, name)) or {}).get("num_rows", 0)
+            for name in OUTPUT_FILE_NAMES.values()
+        )
 
     n_triples = timed("kg_build", build)
     throughput["build_triples_per_s"] = round(n_triples / timings["kg_build"], 1)

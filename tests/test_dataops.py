@@ -1,0 +1,158 @@
+"""Dataops tests: dedup family, similarity search, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _docs_ds():
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "the quick brown fox jumps over the lazy dog in the morning sun",
+            "the quick brown fox jumps over the lazy dog in the morning sun!",
+            "a completely different document about maritime navigation history",
+            "the quick brown fox jumps over the lazy dog in the morning sun",
+            "short",
+            "another unrelated text discussing ancient pottery techniques today",
+        ],
+    }
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(ray_session):
+    from yago4_ray.dataops.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(), "text", "doc_id").to_pandas()
+    # docs 1 and 4 are byte-identical → one representative with count 2
+    rep = out[out["n_dupes"] == 2]
+    assert len(rep) == 1 and rep["doc_id"].iloc[0] == 1
+    assert len(out) == 5
+
+
+def test_minhash_dedup(ray_session):
+    from yago4_ray.dataops.dedup import minhash_dedup, ngram_jaccard
+
+    assert ngram_jaccard("abcdefg", "abcdefg") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    out = minhash_dedup(_docs_ds(), "text", "doc_id", threshold=0.8).to_pandas()
+    clusters = dict(zip(out["doc_id"], out["cluster"]))
+    # near-identical docs 1/2/4 cluster together; 3 and 6 don't appear
+    assert clusters.get(1) == clusters.get(2) == clusters.get(4)
+    assert 3 not in clusters and 6 not in clusters
+
+
+def test_simhash_pairs(ray_session):
+    from yago4_ray.dataops.dedup import simhash64, simhash_dedup_pairs
+
+    assert simhash64("hello world") == simhash64("hello world")
+    out = simhash_dedup_pairs(_docs_ds(), "text", "doc_id").to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 4) in pairs  # identical texts
+
+
+def test_embedding_dedup(ray_session):
+    from yago4_ray.dataops.dedup import embedding_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[:3] * 1.05])  # 3 planted near-dups
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": list(range(23)), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = embedding_dedup_pairs(ds, "embedding", "vec_id", threshold=0.99).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert {(0, 20), (1, 21), (2, 22)} <= pairs
+
+
+def test_similarity_brute_vs_ivf(ray_session):
+    from yago4_ray.dataops.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 12)).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": list(range(300)), "embedding": [v.tolist() for v in mat]}
+        )
+    )
+    queries = mat[:2]
+    exact = brute_force_topk(ds, queries, k=5)
+    # each query's own vector is its top hit (cosine 1)
+    assert exact[exact["query_idx"] == 0].iloc[0]["id"] == 0
+    assert exact[exact["query_idx"] == 1].iloc[0]["id"] == 1
+    approx = ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=4)
+    # recall@5 of IVF vs exact should be decent with half the lists probed
+    for qi in (0, 1):
+        e = set(exact[exact["query_idx"] == qi]["id"])
+        a = set(approx[approx["query_idx"] == qi]["id"])
+        assert len(e & a) >= 3
+
+
+def test_text_stats(ray_session):
+    from yago4_ray.dataops.textstats import (
+        detect_language,
+        fingerprint64,
+        quality_score,
+        text_stats,
+        token_count,
+    )
+
+    assert token_count("a b  c") == 3
+    assert detect_language("the cat and the dog of the house") == "en"
+    assert detect_language("der Hund und die Katze sind im Haus nicht") == "de"
+    assert detect_language("12345") == "und"
+    assert quality_score("") == 0.0
+    assert 0 <= quality_score("the quick brown fox jumps over the lazy dog") <= 1
+    assert fingerprint64("same text here") == fingerprint64("same text here")
+    out = text_stats(_docs_ds(), "text", concurrency=2).to_pandas()
+    assert {"n_tokens", "n_bpe_tokens", "lang_pred", "quality", "fingerprint"} <= set(
+        out.columns
+    )
+    assert (out["n_tokens"] > 0).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    import pytest
+
+    from yago4_ray.dataops.multimodal import (
+        MediaDecoder,
+        decode_media,
+        frame_sample_plan,
+        media_table_from_refs,
+    )
+
+    table = media_table_from_refs(["commons://File:A.jpg", "commons://File:B.jpg"])
+    ds = ray.data.from_arrow(table).map_batches(lambda t: t, batch_format="pyarrow")
+    out = decode_media(ds, decoder="fake", feature_dim=8).to_pandas()
+    assert len(out) == 2
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic features
+    d1 = MediaDecoder("fake", 8)
+    f1 = d1(table.slice(0, 1))
+    f2 = MediaDecoder("fake", 8)(table.slice(0, 1))
+    assert f1["features"].to_pylist() == f2["features"].to_pylist()
+    # real decoder is stubbed in this container
+    with pytest.raises(NotImplementedError):
+        MediaDecoder("real")
+    assert frame_sample_plan(3500, 1000) == [0, 1000, 2000, 3000]
+    assert frame_sample_plan(-1) == [0]
+
+
+def test_partitioned_group_apply(ray_session):
+    from yago4_ray.joins import distinct_rows, group_filter_by_count
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "v": ["1", "1", "2", "3", "3", "4"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = distinct_rows(ds, ["k", "v"]).to_pandas()
+    assert len(out) == 4
+    kept = group_filter_by_count(ds, ["k"], 2).to_pandas()
+    # group a has 3 rows > 2 → dropped entirely; b and c kept
+    assert set(kept["k"]) == {"b", "c"}
+    assert len(kept) == 3

@@ -1,0 +1,97 @@
+"""Sources/sinks: N-Triples round trip, store scans, size flavors."""
+
+import gzip
+import os
+
+import pyarrow.parquet as pq
+
+from yago4_ray import terms as T
+
+
+def test_ntriples_roundtrip(ray_session, tmp_path):
+    """Write .nt.gz via Ray, read it back with the tolerant parser
+    (reference roundtrip test, partitioned_statements.rs:305-327)."""
+    import ray.data
+
+    from yago4_ray.sources import read_ntriples, write_ntriples
+
+    nt = tmp_path / "in.nt"
+    nt.write_text(
+        '<http://www.wikidata.org/entity/Q42> '
+        '<http://schema.org/description> "ast\\u00e9risque"@ast .\n'
+        "this line is garbage\n"
+        "<http://e/a> <http://e/p> <http://e/b> .\n"
+    )
+    ds = read_ntriples(str(nt))
+    rows = ds.to_pandas()
+    assert len(rows) == 2  # bad line skipped
+    assert '"astérisque"@ast' in set(rows["object"])
+
+    out = str(tmp_path / "out")
+    write_ntriples(ds, out)
+    files = [f for f in os.listdir(out) if f.endswith(".nt.gz")]
+    lines = [
+        line for f in sorted(files) for line in gzip.open(os.path.join(out, f), "rt")
+    ]
+    reparsed = {T.parse_ntriples_line(line) for line in lines}
+    assert reparsed == set(zip(rows["subject"], rows["predicate"], rows["object"]))
+
+
+def test_scan_predicate_filters_exact(statements_root):
+    from yago4_ray.sources import scan_predicate
+
+    ds = scan_predicate(statements_root, f"<{T.WDT}P31>")
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert set(df["predicate"]) == {f"<{T.WDT}P31>"}
+    # unknown predicate → empty, correct schema
+    empty = scan_predicate(statements_root, "<http://nope/x>")
+    assert empty.count() == 0
+
+
+def test_store_is_key_unique(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from yago4_ray.sources import scan_predicate, write_statement_store
+
+    rows = pd.DataFrame(
+        {
+            "subject": ["<http://e/a>"] * 3 + ["<http://e/b>"],
+            "predicate": ["<http://e/p>"] * 4,
+            "object": ['"x"'] * 3 + ['"y"'],
+        }
+    )
+    root = str(tmp_path / "store")
+    write_statement_store(ray.data.from_pandas(rows), root)
+    out = scan_predicate(root, "<http://e/p>").to_pandas()
+    assert len(out) == 2  # duplicate triples collapsed (RocksDB semantics)
+
+
+def test_size_flavors(statements_root):
+    """full ⊇ all-wikipedias ⊇ en-wikipedia item universes
+    (plan.rs:263-279)."""
+    from yago4_ray.schema import Schema
+    from yago4_ray.state import Stats, build_uri_mapping
+
+    schema = Schema.open()
+    sizes = {}
+    for size in ("full", "all-wikipedias", "en-wikipedia"):
+        mapping, _ = build_uri_mapping(statements_root, schema, Stats(), size)
+        sizes[size] = len(mapping)
+    assert sizes["full"] >= sizes["all-wikipedias"] >= sizes["en-wikipedia"] > 0
+
+
+def test_cli_synth_and_partition(ray_session, tmp_path, corpus_dir):
+    from yago4_ray.__main__ import main
+
+    main(["synth", "-n", "150", "-s", "7"])
+    out = "/tmp/yago4_ray_cache/corpus_n150_s7_v2"
+    assert os.path.exists(os.path.join(out, "statements.parquet"))
+    store = str(tmp_path / "cli_store")
+    main([
+        "partition",
+        "-f", os.path.join(corpus_dir, "statements.parquet"),
+        "-o", store,
+    ])
+    assert any(d.startswith("pred_key=") for d in os.listdir(store))

@@ -1,0 +1,170 @@
+"""Zero-copy broadcast lookup structures.
+
+A plain `ray.put(dict)` broadcast must be *unpickled by every worker
+process* — at 32 workers × a ~15 MB URI map + ~50 MB of instance sets
+that deserialization storm dominates small-task pipelines and gets
+WORSE with more CPUs (measured: the combined build write went 34 s @ 8
+CPUs → 89 s @ 32 CPUs on 2.2 M statements).
+
+These structures serialize as numpy arrays + Arrow string arrays,
+which Ray ships through the object store with zero-copy buffers:
+`ray.get` in a worker costs ~nothing regardless of size, and lookups
+are vectorized (`np.searchsorted` over sorted 64-bit key hashes).
+
+Collision safety: keys are hashed to 64 bits (blake2b); construction
+verifies hash uniqueness and falls back to carrying the key strings for
+verification when a collision exists (never silently wrong).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hash64(value: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def _hash_series(values) -> np.ndarray:
+    return np.fromiter(
+        (_hash64(v) for v in values), dtype=np.uint64, count=len(values)
+    )
+
+
+class HashedSet:
+    """Broadcastable membership set over canonical term strings."""
+
+    def __init__(self, values):
+        values = list(values)
+        hashes = np.unique(_hash_series(values)) if values else np.empty(0, np.uint64)
+        # uniqueness of hashes over distinct keys
+        self._collision_free = len(hashes) == len(set(values))
+        self.hashes = hashes
+        self._fallback = None if self._collision_free else frozenset(values)
+
+    def __len__(self):
+        return len(self.hashes)
+
+    def contains(self, series: pd.Series) -> np.ndarray:
+        if self._fallback is not None:
+            return series.isin(self._fallback).to_numpy()
+        if len(self.hashes) == 0 or len(series) == 0:
+            return np.zeros(len(series), dtype=bool)
+        h = _hash_series(series.to_numpy())
+        idx = np.searchsorted(self.hashes, h)
+        idx = np.minimum(idx, len(self.hashes) - 1)
+        return self.hashes[idx] == h
+
+
+class HashedMap:
+    """Broadcastable str→str mapping (URI maps, clean-value maps)."""
+
+    def __init__(self, mapping: dict[str, str]):
+        keys = list(mapping.keys())
+        values = [mapping[k] for k in keys]
+        if keys:
+            hashes = _hash_series(keys)
+            order = np.argsort(hashes, kind="stable")
+            self.key_hashes = hashes[order]
+            self.values = pa.array(
+                [values[i] for i in order], type=pa.large_string()
+            )
+            self._collision_free = len(np.unique(self.key_hashes)) == len(keys)
+        else:
+            self.key_hashes = np.empty(0, np.uint64)
+            self.values = pa.array([], type=pa.large_string())
+            self._collision_free = True
+        self._fallback = None if self._collision_free else dict(mapping)
+
+    def __len__(self):
+        return len(self.key_hashes)
+
+    def lookup(self, series: pd.Series) -> pd.Series:
+        """Mapped values aligned to `series`; NaN where missing."""
+        if self._fallback is not None:
+            return series.map(self._fallback)
+        n = len(series)
+        if n == 0 or len(self.key_hashes) == 0:
+            return pd.Series([None] * n, index=series.index, dtype=object)
+        h = _hash_series(series.to_numpy())
+        idx = np.searchsorted(self.key_hashes, h)
+        idx_c = np.minimum(idx, len(self.key_hashes) - 1)
+        hit = self.key_hashes[idx_c] == h
+        taken = self.values.take(pa.array(idx_c, type=pa.int64())).to_pandas()
+        out = taken.where(pd.Series(hit, index=taken.index), None)
+        out.index = series.index
+        return out
+
+    def get(self, key: str):
+        if self._fallback is not None:
+            return self._fallback.get(key)
+        h = np.uint64(_hash64(key))
+        idx = int(np.searchsorted(self.key_hashes, h))
+        if idx < len(self.key_hashes) and self.key_hashes[idx] == h:
+            return self.values[idx].as_py()
+        return None
+
+
+class HashedMultiMap:
+    """Broadcastable str→tuple[str, str] map (clean maps carry
+    (object, extras_json)); stored as two aligned Arrow arrays."""
+
+    def __init__(self, mapping: dict[str, tuple[str, str]]):
+        keys = list(mapping.keys())
+        if keys:
+            hashes = _hash_series(keys)
+            order = np.argsort(hashes, kind="stable")
+            self.key_hashes = hashes[order]
+            self.objects = pa.array(
+                [mapping[keys[i]][0] for i in order], type=pa.large_string()
+            )
+            self.extras = pa.array(
+                [mapping[keys[i]][1] for i in order], type=pa.large_string()
+            )
+            self._collision_free = len(np.unique(self.key_hashes)) == len(keys)
+        else:
+            self.key_hashes = np.empty(0, np.uint64)
+            self.objects = pa.array([], type=pa.large_string())
+            self.extras = pa.array([], type=pa.large_string())
+            self._collision_free = True
+        self._fallback = None if self._collision_free else dict(mapping)
+
+    def __len__(self):
+        return len(self.key_hashes)
+
+    def get(self, key: str):
+        if self._fallback is not None:
+            return self._fallback.get(key)
+        h = np.uint64(_hash64(key))
+        idx = int(np.searchsorted(self.key_hashes, h))
+        if idx < len(self.key_hashes) and self.key_hashes[idx] == h:
+            return (self.objects[idx].as_py(), self.extras[idx].as_py())
+        return None
+
+    def lookup(self, series: pd.Series) -> tuple[pd.Series, pd.Series]:
+        """(objects, extras) aligned to `series`; None where missing."""
+        n = len(series)
+        if self._fallback is not None:
+            hits = series.map(self._fallback)
+            objs = hits.map(lambda v: v[0] if isinstance(v, tuple) else None)
+            extras = hits.map(lambda v: v[1] if isinstance(v, tuple) else None)
+            return objs, extras
+        if n == 0 or len(self.key_hashes) == 0:
+            empty = pd.Series([None] * n, index=series.index, dtype=object)
+            return empty, empty.copy()
+        h = _hash_series(series.to_numpy())
+        idx = np.searchsorted(self.key_hashes, h)
+        idx_c = np.minimum(idx, len(self.key_hashes) - 1)
+        hit = pd.Series(self.key_hashes[idx_c] == h)
+        take = pa.array(idx_c, type=pa.int64())
+        objs = self.objects.take(take).to_pandas().where(hit, None)
+        extras = self.extras.take(take).to_pandas().where(hit, None)
+        objs.index = series.index
+        extras.index = series.index
+        return objs, extras

@@ -145,28 +145,20 @@ def derive_config(shape: PropertyShape, schema: Schema, cfg_id: str) -> PropConf
 # Shared broadcastable fact-pipeline state
 # ---------------------------------------------------------------------------
 
-def _collect_value_map(ds: Dataset) -> dict[str, tuple[str, str]]:
-    df = ds.to_pandas()
-    return {
-        node: (obj, extras)
-        for node, obj, extras in zip(df["value_node"], df["object"], df["extras"])
+def build_clean_maps(root: str, state: BuildState, stats: Stats) -> dict:
+    """The five cleaned-value maps (ST4) from ONE scan + ONE partitioned
+    groupby (reference: five point-lookup chains in five threads,
+    plan.rs:908-1032)."""
+    df = C.build_value_maps(
+        root, scan_predicate, state.packed_ref("uri_mapping")
+    ).to_pandas()
+    maps: dict[str, dict[str, tuple[str, str]]] = {
+        k: {} for k in ("time", "coordinates", "duration", "integer", "quantity")
     }
-
-
-def build_clean_maps(root: str, uri_mapping: dict[str, str], stats: Stats) -> dict:
-    """The five cleaned-value maps (ST4), built concurrently as Dataset
-    reductions (reference: 5 cleaner threads, plan.rs:908-1032)."""
-    maps = {
-        "time": _collect_value_map(C.build_clean_times(root, scan_predicate)),
-        "coordinates": _collect_value_map(
-            C.build_clean_coordinates(root, scan_predicate)
-        ),
-        "duration": _collect_value_map(C.build_clean_durations(root, scan_predicate)),
-        "integer": _collect_value_map(C.build_clean_integers(root, scan_predicate)),
-        "quantity": _collect_value_map(
-            C.build_clean_quantities(root, scan_predicate, uri_mapping)
-        ),
-    }
+    for family, node, obj, extras in zip(
+        df["family"], df["value_node"], df["object"], df["extras"]
+    ):
+        maps[family][node] = (obj, extras)
     for name, m in maps.items():
         stats.set_local("Cleaned complex type", name, len(m))
     return maps
@@ -191,6 +183,32 @@ def best_rank_statements(root: str) -> set[str]:
 _SEP = "\x00"
 
 
+def datatype_series(obj: pd.Series) -> pd.Series:
+    """Vectorized YagoTerm::datatype over canonical term strings
+    (model.rs:141-155): None for IRIs/blank nodes."""
+    out = pd.Series([None] * len(obj), index=obj.index, dtype=object)
+    if len(obj) == 0:
+        return out
+    is_lit = obj.str.startswith('"')
+    out[is_lit & obj.str.endswith('"')] = T.XSD_STRING
+    lang = is_lit & obj.str.contains(r'"@[A-Za-z0-9-]+$', regex=True)
+    out[lang] = T.RDF_LANG_STRING
+    dt = obj.str.extract(r"\^\^<([^>]+)>$", expand=False)
+    typed = is_lit & dt.notna()
+    out[typed] = dt[typed]
+    return out
+
+
+def _literal_values(obj: pd.Series) -> pd.Series:
+    """Vectorized plain-string literal values (no unescaping; sh:pattern
+    targets — identifiers without escapes)."""
+    return obj.str.extract(r'^"(.*)"$', expand=False)
+
+
+_EMPTY_SUBJECT = {"cfg": [], "statement": [], "subject": []}
+_EMPTY_OBJECT = {"cfg": [], "statement": [], "object": [], "extras": []}
+
+
 def _subject_side(
     root: str,
     configs: list[PropConfig],
@@ -198,37 +216,58 @@ def _subject_side(
 ) -> Dataset:
     """(cfg, statement, subject): p:Pid scan → per-config fan-out →
     best-rank filter → URI-map subject → domain filter
-    (plan.rs:1073-1102)."""
-    pid_to_cfgs: dict[str, list[str]] = {}
+    (plan.rs:1073-1102). Fully vectorized: packed zero-copy broadcasts,
+    numpy membership, one pandas pass per (pid, cfg)."""
+    pid_to_cfgs: dict[str, list[PropConfig]] = {}
     for cfg in configs:
+        if cfg.parent_class is None:
+            raise ValueError(f"No parent shape for {cfg.path}")
         for pid in cfg.pids:
-            pid_to_cfgs.setdefault(pid, []).append(cfg.cfg_id)
-    preds = [T.iri(f"{T.P_PREFIX}{pid}") for pid in pid_to_cfgs]
-    ds = scan_predicate(root, preds)
+            pid_to_cfgs.setdefault(pid, []).append(cfg)
+    preds = {T.iri(f"{T.P_PREFIX}{pid}"): pid for pid in pid_to_cfgs}
+    ds = scan_predicate(root, list(preds))
 
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
         uri_map = get_broadcast(refs["uri_mapping"])
         best = get_broadcast(refs["best_rank"])
         instances = get_broadcast(refs["shape_instances"])
-        cfg_parent = get_broadcast(refs["cfg_parent"])
-        out = {"cfg": [], "statement": [], "subject": []}
-        pids = batch["predicate"].map(lambda p: T.pid_of(p))
-        subjects = batch["subject"].map(uri_map)
-        for pid, subject, statement in zip(pids, subjects, batch["object"]):
-            if subject is None or pd.isna(subject) or statement not in best:
-                continue
-            for cfg_id in pid_to_cfgs.get(pid, ()):
-                parent = cfg_parent[cfg_id]
-                if parent is None:
-                    raise ValueError(f"No parent shape for {cfg_id}")
-                if subject not in instances.get(parent, ()):
+        subjects = uri_map.lookup(batch["subject"])
+        keep = subjects.notna().to_numpy() & best.contains(batch["object"])
+        base = pd.DataFrame(
+            {
+                "pid": batch["predicate"].map(preds),
+                "statement": batch["object"],
+                "subject": subjects,
+            }
+        )[keep]
+        outs = []
+        for pid, group in base.groupby("pid", sort=False):
+            for cfg in pid_to_cfgs.get(pid, ()):
+                inst = instances.get(cfg.parent_class)
+                if inst is None:
                     continue
-                out["cfg"].append(cfg_id)
-                out["statement"].append(statement)
-                out["subject"].append(subject)
-        return pd.DataFrame(out)
+                sel = group[inst.contains(group["subject"])]
+                if len(sel):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "cfg": cfg.cfg_id,
+                                "statement": sel["statement"],
+                                "subject": sel["subject"],
+                            }
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame(_EMPTY_SUBJECT).astype(str)
+        return pd.concat(outs, ignore_index=True)
 
     return ds.map_batches(stage, batch_format="pandas")
+
+
+_CLEAN_FAMILY = {
+    "time": "time", "duration": "duration", "integer": "integer",
+    "geo": "coordinates", "quantity": "quantity",
+}
 
 
 def _object_side(
@@ -239,7 +278,9 @@ def _object_side(
     complex_prefix: str,
 ) -> Dataset:
     """(cfg, statement, object, extras): ps:/psv: scan → per-mode value
-    dispatch → pattern filter (plan.rs:1209-1399)."""
+    dispatch → pattern filter (plan.rs:1209-1399). Vectorized per
+    (predicate, cfg) group; scalar converters only run on candidate
+    rows of their own mode."""
     pred_to_cfgs: dict[str, list[PropConfig]] = {}
     for cfg in configs:
         if cfg.mode == "skip":
@@ -248,39 +289,62 @@ def _object_side(
         for pid in cfg.pids:
             pred_to_cfgs.setdefault(T.iri(f"{prefix}{pid}"), []).append(cfg)
     ds = scan_predicate(root, list(pred_to_cfgs))
-    cfg_by_id = {c.cfg_id: c for c in configs}
-    patterns = {
-        c.cfg_id: c.pattern for c in configs if c.pattern is not None
-    }
 
-    def dispatch_one(cfg: PropConfig, obj: str, refs_local) -> tuple[str, str] | None:
+    def dispatch(cfg: PropConfig, rows: pd.DataFrame, refs_local) -> pd.DataFrame | None:
+        """rows: (statement, object) for one cfg; returns
+        (statement, object, extras) or None."""
+        objs = rows["object"]
         mode = cfg.mode
+        extras = None
         if mode == "anyuri":
-            out = C.validate_any_uri(obj)
-            return (out, "") if out else None
-        if mode == "image":
-            out = C.filter_image(obj)
-            return (out, "") if out else None
-        if mode == "datatype":
-            dt = T.datatype(obj)
-            return (obj, "") if dt in cfg.datatypes else None
-        if mode == "range":
-            uri_map = refs_local["uri_mapping"]
+            mapped = objs.map(C.validate_any_uri)
+            keep = mapped.notna()
+            values = mapped[keep]
+        elif mode == "image":
+            keep = objs.str.startswith("<" + C.COMMONS_PREFIX)
+            values = objs[keep]
+        elif mode == "datatype":
+            keep = datatype_series(objs).isin(cfg.datatypes)
+            values = objs[keep]
+        elif mode == "range":
+            mapped = refs_local["uri_mapping"].lookup(objs)
+            keep = mapped.notna().to_numpy()
+            import numpy as np
+
+            in_range = np.zeros(len(rows), dtype=bool)
             instances = refs_local["shape_instances"]
-            mapped = uri_map.get(obj)
-            if mapped is None:
-                return None
             for cls in cfg.range_classes:
-                if mapped in instances.get(cls, ()):
-                    return (mapped, "")
+                inst = instances.get(cls)
+                if inst is not None:
+                    in_range |= keep & inst.contains(mapped.fillna(""))
+            keep = in_range
+            values = mapped[keep]
+        else:  # complex value families
+            clean = refs_local["clean_maps"][_CLEAN_FAMILY[mode]]
+            mapped, mapped_extras = clean.lookup(objs)
+            keep = mapped.notna()
+            values = mapped[keep]
+            extras = mapped_extras[keep].fillna("")
+        if keep is None or not keep.any():
             return None
-        # complex modes: clean-map lookup
-        clean = refs_local["clean_maps"][
-            {"time": "time", "duration": "duration", "integer": "integer",
-             "geo": "coordinates", "quantity": "quantity"}[mode]
-        ]
-        hit = clean.get(obj)
-        return hit if hit is not None else None
+        out = pd.DataFrame(
+            {
+                "cfg": cfg.cfg_id,
+                "statement": rows["statement"][keep],
+                "object": values,
+                "extras": extras if extras is not None else "",
+            }
+        )
+        if cfg.pattern is not None:
+            # only plain strings can pass a sh:pattern (plan.rs:1388-1397)
+            lit = _literal_values(out["object"])
+            ok = (
+                (datatype_series(out["object"]) == T.XSD_STRING)
+                & lit.notna()
+                & lit.str.contains(cfg.pattern, regex=True, na=False)
+            )
+            out = out[ok]
+        return out if len(out) else None
 
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
         refs_local = {
@@ -288,30 +352,19 @@ def _object_side(
             "shape_instances": get_broadcast(refs["shape_instances"]),
             "clean_maps": get_broadcast(refs["clean_maps"]),
         }
-        out = {"cfg": [], "statement": [], "object": [], "extras": []}
-        for pred, statement, obj in zip(
-            batch["predicate"], batch["subject"], batch["object"]
-        ):
+        outs = []
+        for pred, group in batch.groupby("predicate", sort=False):
+            rows = pd.DataFrame(
+                {"statement": group["subject"], "object": group["object"]}
+            )
             for cfg in pred_to_cfgs.get(pred, ()):
-                res = dispatch_one(cfg, obj, refs_local)
-                if res is None:
-                    continue
-                value, extras = res
-                pattern = patterns.get(cfg.cfg_id)
-                if pattern is not None:
-                    # only plain strings can pass a sh:pattern
-                    # (plan.rs:1388-1397)
-                    if T.datatype(value) != T.XSD_STRING or not re.search(
-                        pattern, T.literal_value(value)
-                    ):
-                        continue
-                out["cfg"].append(cfg.cfg_id)
-                out["statement"].append(statement)
-                out["object"].append(value)
-                out["extras"].append(extras)
-        return pd.DataFrame(out)
+                res = dispatch(cfg, rows, refs_local)
+                if res is not None:
+                    outs.append(res)
+        if not outs:
+            return pd.DataFrame(_EMPTY_OBJECT).astype(str)
+        return pd.concat(outs, ignore_index=True)
 
-    _ = cfg_by_id
     return ds.map_batches(stage, batch_format="pandas")
 
 
@@ -324,26 +377,23 @@ def _apply_max_count(joined: Dataset, configs: list[PropConfig]) -> Dataset:
 
     limited_cfgs = set(max_counts)
 
-    def split_key(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["cfg"].isin(limited_cfgs)].copy()
-        batch["__grp"] = batch["cfg"] + _SEP + batch["subject"]
-        return batch
-
-    def keep_group(group: pd.DataFrame) -> pd.DataFrame:
+    def keep_small(pdf: pd.DataFrame) -> pd.DataFrame:
         limits = get_broadcast(limits_ref)
-        limit = limits.get(group["cfg"].iloc[0])
-        if limit is not None and len(group) > limit:
-            return group.iloc[0:0]
-        return group
+        sizes = pdf.groupby(["cfg", "subject"])["statement"].transform("size")
+        limit = pdf["cfg"].map(limits)
+        return pdf[sizes <= limit]
+
+    from .joins import partitioned_group_apply
 
     without_limit = joined.map_batches(
         lambda b: b[~b["cfg"].isin(limited_cfgs)], batch_format="pandas"
     )
-    filtered = (
-        joined.map_batches(split_key, batch_format="pandas")
-        .groupby("__grp")
-        .map_groups(keep_group, batch_format="pandas")
-        .drop_columns(["__grp"])
+    filtered = partitioned_group_apply(
+        joined.map_batches(
+            lambda b: b[b["cfg"].isin(limited_cfgs)], batch_format="pandas"
+        ),
+        ["cfg", "subject"],
+        keep_small,
     )
     return without_limit.union(filtered)
 
@@ -353,6 +403,7 @@ def build_facts(
     state: BuildState,
     exclude_paths: list[str] | None = None,
     num_partitions: int | None = None,
+    dedup: bool = True,
 ) -> tuple[Dataset, Dataset]:
     """The core: (facts, annotated-facts) Datasets
     (plan.rs:896-1202). See module docstring for the dataflow."""
@@ -378,13 +429,16 @@ def build_facts(
             continue
         ann_configs.append(cfg)
 
-    clean_maps = build_clean_maps(root, state.uri_mapping, state.stats)
+    clean_maps = build_clean_maps(root, state, state.stats)
+    from .broadcast import HashedMultiMap, HashedSet
+
     refs = {
-        "uri_mapping": state.ref("uri_mapping"),
-        "shape_instances": state.ref("shape_instances"),
-        "best_rank": ray.put(best_rank_statements(root)),
-        "clean_maps": ray.put(clean_maps),
-        "cfg_parent": ray.put({c.cfg_id: c.parent_class for c in configs}),
+        "uri_mapping": state.packed_ref("uri_mapping"),
+        "shape_instances": state.packed_ref("shape_instances"),
+        "best_rank": ray.put(HashedSet(best_rank_statements(root))),
+        "clean_maps": ray.put(
+            {family: HashedMultiMap(m) for family, m in clean_maps.items()}
+        ),
     }
 
     subjects = _subject_side(root, configs, refs)
@@ -424,7 +478,8 @@ def build_facts(
         )
 
     facts = joined.map_batches(to_triples, batch_format="pandas")
-    facts = distinct_rows(facts, ["subject", "predicate", "object"])
+    if dedup:
+        facts = distinct_rows(facts, ["subject", "predicate", "object"])
 
     # ---- annotations (plan.rs:1034-1064, 1165-1192) ----
     if ann_configs:
@@ -473,10 +528,12 @@ def build_facts(
             return pd.DataFrame(out)
 
         annotated = ann_joined.map_batches(to_annotated, batch_format="pandas")
-        annotated = distinct_rows(
-            annotated,
-            ["subject", "predicate", "object", "annotation_predicate", "annotation_object"],
-        )
+        if dedup:
+            annotated = distinct_rows(
+                annotated,
+                ["subject", "predicate", "object",
+                 "annotation_predicate", "annotation_object"],
+            )
     else:
         annotated = ray.data.from_pandas(
             pd.DataFrame(
@@ -492,7 +549,7 @@ def build_facts(
 # Labels (build_simple_properties_from_schema, plan.rs:818-892)
 # ---------------------------------------------------------------------------
 
-def build_labels(root: str, state: BuildState, paths: list[str] | None = None) -> Dataset:
+def build_labels(root: str, state: BuildState, paths: list[str] | None = None, dedup: bool = True) -> Dataset:
     paths = paths or LABEL_PATHS
     schema = state.schema
     shapes = [s for s in schema.property_shapes() if s.path in paths]
@@ -510,25 +567,30 @@ def build_labels(root: str, state: BuildState, paths: list[str] | None = None) -
         parent = schema.node_shape(shape.parent_shape).target_class
         ds = scan_predicate(root, list(shape.from_properties))
         refs = {
-            "uri_mapping": state.ref("uri_mapping"),
-            "shape_instances": state.ref("shape_instances"),
+            "uri_mapping": state.packed_ref("uri_mapping"),
+            "shape_instances": state.packed_ref("shape_instances"),
         }
         out_path = shape.path
 
         def stage(batch: pd.DataFrame, dts=dts, parent=parent, out_path=out_path) -> pd.DataFrame:
             uri_map = get_broadcast(refs["uri_mapping"])
-            instances = get_broadcast(refs["shape_instances"]).get(parent, set())
-            out = {"subject": [], "predicate": [], "object": []}
-            for subject_wd, obj in zip(batch["subject"], batch["object"]):
-                if T.datatype(obj) not in dts:
-                    continue
-                subject = uri_map.get(subject_wd)
-                if subject is None or subject not in instances:
-                    continue
-                out["subject"].append(subject)
-                out["predicate"].append(out_path)
-                out["object"].append(obj)
-            return pd.DataFrame(out)
+            instances = get_broadcast(refs["shape_instances"]).get(parent)
+            keep = datatype_series(batch["object"]).isin(dts)
+            subjects = uri_map.lookup(batch["subject"])
+            keep &= subjects.notna()
+            if instances is not None:
+                keep &= pd.Series(
+                    instances.contains(subjects.fillna("")), index=batch.index
+                )
+            else:
+                keep &= False
+            return pd.DataFrame(
+                {
+                    "subject": subjects[keep],
+                    "predicate": out_path,
+                    "object": batch["object"][keep],
+                }
+            )
 
         parts.append(ds.map_batches(stage, batch_format="pandas"))
     if not parts:
@@ -536,7 +598,9 @@ def build_labels(root: str, state: BuildState, paths: list[str] | None = None) -
     ds = parts[0]
     if len(parts) > 1:
         ds = ds.union(*parts[1:])
-    return distinct_rows(ds, ["subject", "predicate", "object"])
+    if dedup:
+        ds = distinct_rows(ds, ["subject", "predicate", "object"])
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -552,10 +616,11 @@ def build_simple_types(state: BuildState) -> Dataset:
     return _triples_ds(rows)
 
 
-def build_full_types(root: str, state: BuildState) -> Dataset:
+def build_full_types(root: str, state: BuildState, dedup: bool = True) -> Dataset:
     refs = {
-        "uri_mapping": state.ref("uri_mapping"),
-        "things": ray.put(state.things()),
+        "uri_mapping": state.packed_ref("uri_mapping"),
+        "things": state.packed_ref("things"),
+        # class mapping is class-graph scale — a plain dict is fine
         "class_mapping": ray.put(state.wd_to_yago_class_mapping),
     }
     p31 = scan_predicate(root, f"<{T.WDT}P31>")
@@ -564,24 +629,37 @@ def build_full_types(root: str, state: BuildState) -> Dataset:
         uri_map = get_broadcast(refs["uri_mapping"])
         things = get_broadcast(refs["things"])
         class_map = get_broadcast(refs["class_mapping"])
-        out = {"subject": [], "predicate": [], "object": []}
-        for wd_instance, wd_class in zip(batch["subject"], batch["object"]):
-            instance = uri_map.get(wd_instance)
-            if instance is None or instance not in things:
-                continue
+        instances = uri_map.lookup(batch["subject"])
+        keep = instances.notna().to_numpy() & things.contains(instances.fillna(""))
+        base = pd.DataFrame(
+            {"instance": instances, "wd_class": batch["object"]}
+        )[keep]
+        # explode the (small) per-class fan-out vectorized per class
+        outs = []
+        for wd_class, group in base.groupby("wd_class", sort=False):
             for yago_class in class_map.get(wd_class, ()):
-                out["subject"].append(instance)
-                out["predicate"].append(T.RDF_TYPE)
-                out["object"].append(yago_class)
-        return pd.DataFrame(out)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "subject": group["instance"],
+                            "predicate": T.RDF_TYPE,
+                            "object": yago_class,
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"subject": [], "predicate": [], "object": []}
+            ).astype(str)
+        return pd.concat(outs, ignore_index=True)
 
-    return distinct_rows(
-        p31.map_batches(stage, batch_format="pandas"),
-        ["subject", "predicate", "object"],
-    )
+    out = p31.map_batches(stage, batch_format="pandas")
+    if dedup:
+        out = distinct_rows(out, ["subject", "predicate", "object"])
+    return out
 
 
-def build_classes_description(root: str, state: BuildState) -> Dataset:
+def build_classes_description(root: str, state: BuildState, dedup: bool = True) -> Dataset:
     rows = [(c, T.RDF_TYPE, T.OWL_CLASS) for c in state.yago_classes]
     rows += [
         (sub, T.RDFS_SUB_CLASS_OF, sup)
@@ -589,23 +667,25 @@ def build_classes_description(root: str, state: BuildState) -> Dataset:
         for sub in subs
     ]
     static = _triples_ds(rows)
+    from .broadcast import HashedSet
+
     refs = {
-        "uri_mapping": state.ref("uri_mapping"),
-        "classes": ray.put(state.yago_classes),
+        "uri_mapping": state.packed_ref("uri_mapping"),
+        "classes": ray.put(HashedSet(state.yago_classes)),
     }
 
     def class_labels(batch: pd.DataFrame, predicate: str) -> pd.DataFrame:
         uri_map = get_broadcast(refs["uri_mapping"])
         classes = get_broadcast(refs["classes"])
-        out = {"subject": [], "predicate": [], "object": []}
-        for subject_wd, obj in zip(batch["subject"], batch["object"]):
-            subject = uri_map.get(subject_wd)
-            if subject is None or subject not in classes:
-                continue
-            out["subject"].append(subject)
-            out["predicate"].append(predicate)
-            out["object"].append(obj)
-        return pd.DataFrame(out)
+        subjects = uri_map.lookup(batch["subject"])
+        keep = subjects.notna().to_numpy() & classes.contains(subjects.fillna(""))
+        return pd.DataFrame(
+            {
+                "subject": subjects[keep],
+                "predicate": predicate,
+                "object": batch["object"][keep],
+            }
+        )
 
     labels = scan_predicate(root, T.SKOS_PREF_LABEL).map_batches(
         lambda b: class_labels(b, T.RDFS_LABEL), batch_format="pandas"
@@ -613,16 +693,17 @@ def build_classes_description(root: str, state: BuildState) -> Dataset:
     comments = scan_predicate(root, T.SCHEMA_DESCRIPTION).map_batches(
         lambda b: class_labels(b, T.RDFS_COMMENT), batch_format="pandas"
     )
-    return distinct_rows(
-        static.union(labels, comments), ["subject", "predicate", "object"]
-    )
+    out = static.union(labels, comments)
+    if dedup:
+        out = distinct_rows(out, ["subject", "predicate", "object"])
+    return out
 
 
 # ---------------------------------------------------------------------------
 # sameAs (plan.rs:1690-1780)
 # ---------------------------------------------------------------------------
 
-def build_same_as(root: str, state: BuildState) -> Dataset:
+def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
     things = state.things()
     rows = [
         (yago, T.OWL_SAME_AS, wd)
@@ -637,25 +718,24 @@ def build_same_as(root: str, state: BuildState) -> Dataset:
     static = _triples_ds(rows)
 
     refs = {
-        "uri_mapping": state.ref("uri_mapping"),
-        "things": ray.put(things),
+        "uri_mapping": state.packed_ref("uri_mapping"),
+        "things": state.packed_ref("things"),
     }
 
     def freebase(batch: pd.DataFrame) -> pd.DataFrame:
         uri_map = get_broadcast(refs["uri_mapping"])
         things_b = get_broadcast(refs["things"])
-        out = {"subject": [], "predicate": [], "object": []}
-        for subject_wd, obj in zip(batch["subject"], batch["object"]):
-            yago = uri_map.get(subject_wd)
-            if yago is None or yago not in things_b:
-                continue
-            fb = C.convert_freebase_id(obj)
-            if fb is None:
-                continue
-            out["subject"].append(yago)
-            out["predicate"].append(T.OWL_SAME_AS)
-            out["object"].append(fb)
-        return pd.DataFrame(out)
+        yago = uri_map.lookup(batch["subject"])
+        keep = yago.notna().to_numpy() & things_b.contains(yago.fillna(""))
+        fb = batch["object"][keep].map(C.convert_freebase_id)
+        keep2 = fb.notna()
+        return pd.DataFrame(
+            {
+                "subject": yago[keep][keep2],
+                "predicate": T.OWL_SAME_AS,
+                "object": fb[keep2],
+            }
+        )
 
     freebase_ds = scan_predicate(root, f"<{T.WDT}P646>").map_batches(
         freebase, batch_format="pandas"
@@ -664,27 +744,31 @@ def build_same_as(root: str, state: BuildState) -> Dataset:
     def wikipedia(batch: pd.DataFrame) -> pd.DataFrame:
         uri_map = get_broadcast(refs["uri_mapping"])
         things_b = get_broadcast(refs["things"])
-        out = {"subject": [], "predicate": [], "object": []}
-        for wp, wd in zip(batch["subject"], batch["object"]):
-            if not T.is_iri(wp):
-                continue
-            url = T.iri_value(wp)
-            if ".wikipedia.org/wiki/" not in url:
-                continue
-            yago = uri_map.get(wd)
-            if yago is None or yago not in things_b:
-                continue
-            out["subject"].append(yago)
-            out["predicate"].append(T.SCHEMA_SAME_AS)
-            out["object"].append(f'"{url}"^^<{T.XSD_ANY_URI}>')
-        return pd.DataFrame(out)
+        is_wp = batch["subject"].str.startswith("<") & batch["subject"].str.contains(
+            ".wikipedia.org/wiki/", regex=False
+        )
+        yago = uri_map.lookup(batch["object"])
+        keep = (
+            is_wp.to_numpy()
+            & yago.notna().to_numpy()
+            & things_b.contains(yago.fillna(""))
+        )
+        urls = batch["subject"][keep].str.slice(1, -1)
+        return pd.DataFrame(
+            {
+                "subject": yago[keep],
+                "predicate": T.SCHEMA_SAME_AS,
+                "object": '"' + urls + f'"^^<{T.XSD_ANY_URI}>',
+            }
+        )
 
     wikipedia_ds = scan_predicate(root, T.SCHEMA_ABOUT).map_batches(
         wikipedia, batch_format="pandas"
     )
-    return distinct_rows(
-        static.union(freebase_ds, wikipedia_ds), ["subject", "predicate", "object"]
-    )
+    out = static.union(freebase_ds, wikipedia_ds)
+    if dedup:
+        out = distinct_rows(out, ["subject", "predicate", "object"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -848,6 +932,79 @@ def build_yago_shapes(schema: Schema) -> Dataset:
 # Top-level orchestration (generate_yago, plan.rs:64-203)
 # ---------------------------------------------------------------------------
 
+def build_outputs_raw(
+    statements_root: str, state: BuildState
+) -> tuple[dict[str, Dataset], Dataset]:
+    """All 8 triple outputs (un-deduplicated) + the RDF* output."""
+    facts, annotated = build_facts(statements_root, state, dedup=False)
+    outputs = {
+        "class": build_classes_description(statements_root, state, dedup=False),
+        "simple-types": build_simple_types(state),
+        "full-types": build_full_types(statements_root, state, dedup=False),
+        "labels": build_labels(statements_root, state, dedup=False),
+        "facts": facts,
+        "sameAs": build_same_as(statements_root, state, dedup=False),
+        "schema": build_yago_schema(state.schema),
+        "shapes": build_yago_shapes(state.schema),
+    }
+    return outputs, annotated
+
+
+def build_combined(statements_root: str, state: BuildState) -> tuple[Dataset, Dataset]:
+    """The whole build as ONE streaming DAG: every output tagged with a
+    `file` column, unioned, deduplicated in a single full-key shuffle
+    (instead of one shuffle per output) — the scale-efficient
+    materialization path. Returns (combined triples, annotated)."""
+    outputs, annotated = build_outputs_raw(statements_root, state)
+
+    def tag(name):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["file"] = name
+            return batch
+
+        return fn
+
+    tagged = [
+        ds.map_batches(tag(name), batch_format="pandas")
+        for name, ds in outputs.items()
+    ]
+    combined = tagged[0].union(*tagged[1:])
+    combined = distinct_rows(combined, ["file", "subject", "predicate", "object"])
+    annotated = distinct_rows(
+        annotated,
+        ["subject", "predicate", "object", "annotation_predicate", "annotation_object"],
+    )
+    return combined, annotated
+
+def output_lineage(statements_root: str, state: BuildState) -> str:
+    import hashlib
+
+    from .checkpoint import compute_lineage
+
+    shapes_hash = hashlib.blake2b(
+        "".join(
+            f"{s.id}{s.target_class}{s.from_classes}{[p for p in s.properties]}"
+            for s in state.schema.node_shapes()
+        ).encode(),
+        digest_size=8,
+    ).hexdigest()
+    return compute_lineage(statements_root, [shapes_hash, "yago4_ray-0.1"])
+
+
+OUTPUT_FILE_NAMES = {
+    "class": "yago-wd-class",
+    "simple-types": "yago-wd-simple-types",
+    "full-types": "yago-wd-full-types",
+    "labels": "yago-wd-labels",
+    "facts": "yago-wd-facts",
+    "annotated-facts": "yago-wd-annotated-facts",
+    "sameAs": "yago-wd-sameAs",
+    "schema": "yago-wd-schema",
+    "shapes": "yago-wd-shapes",
+}
+
+
 def generate_yago(
     statements_root: str,
     out_dir: str | None = None,
@@ -856,40 +1013,55 @@ def generate_yago(
     state: BuildState | None = None,
     write: bool = True,
 ) -> dict[str, Dataset]:
-    """Run the full build; returns the 9 output Datasets and optionally
-    writes deterministic sorted N-Triples partitions + stats.tsv."""
-    from .sources import write_ntriples
+    """Run the full build (plan.rs:64-203).
 
+    write=False → returns the 9 output Datasets (each independently
+    deduplicated) for inspection / per-output consumption.
+    write=True  → runs the single-DAG combined path: one union + one
+    full-key dedup shuffle + one global sort + one partitioned write
+    producing all sorted .nt.gz output dirs, each with a checkpoint
+    manifest; completed outputs (same lineage) are skipped on rerun.
+    """
     if state is None:
         state = build_state(statements_root, schema=schema, size=size)
-    facts, annotated = build_facts(statements_root, state)
-    outputs = {
-        "class": build_classes_description(statements_root, state),
-        "simple-types": build_simple_types(state),
-        "full-types": build_full_types(statements_root, state),
-        "labels": build_labels(statements_root, state),
-        "facts": facts,
-        "annotated-facts": annotated,
-        "sameAs": build_same_as(statements_root, state),
-        "schema": build_yago_schema(state.schema),
-        "shapes": build_yago_shapes(state.schema),
-    }
-    if write and out_dir is not None:
-        import os
 
-        os.makedirs(out_dir, exist_ok=True)
-        names = {
-            "class": "yago-wd-class.nt.gz",
-            "simple-types": "yago-wd-simple-types.nt.gz",
-            "full-types": "yago-wd-full-types.nt.gz",
-            "labels": "yago-wd-labels.nt.gz",
-            "facts": "yago-wd-facts.nt.gz",
-            "annotated-facts": "yago-wd-annotated-facts.ntx.gz",
-            "sameAs": "yago-wd-sameAs.nt.gz",
-            "schema": "yago-wd-schema.nt.gz",
-            "shapes": "yago-wd-shapes.nt.gz",
+    if not (write and out_dir is not None):
+        facts, annotated = build_facts(statements_root, state)
+        return {
+            "class": build_classes_description(statements_root, state),
+            "simple-types": build_simple_types(state),
+            "full-types": build_full_types(statements_root, state),
+            "labels": build_labels(statements_root, state),
+            "facts": facts,
+            "annotated-facts": annotated,
+            "sameAs": build_same_as(statements_root, state),
+            "schema": build_yago_schema(state.schema),
+            "shapes": build_yago_shapes(state.schema),
         }
-        for key, ds in outputs.items():
-            write_ntriples(ds, os.path.join(out_dir, names[key].replace(".nt.gz", "").replace(".ntx.gz", "")))
-        state.stats.write(os.path.join(out_dir, "stats.tsv"))
-    return outputs
+
+    import os
+
+    from .checkpoint import is_complete
+    from .sources import MultiNTriplesGzDatasink, write_ntriples
+
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = output_lineage(statements_root, state)
+    triple_names = {k: v for k, v in OUTPUT_FILE_NAMES.items() if k != "annotated-facts"}
+    ann_dir = os.path.join(out_dir, OUTPUT_FILE_NAMES["annotated-facts"])
+    all_done = all(
+        is_complete(os.path.join(out_dir, name), lineage)
+        for name in triple_names.values()
+    ) and is_complete(ann_dir, lineage)
+    if all_done:
+        return {}  # resume: everything already written from this input
+    combined, annotated = build_combined(statements_root, state)
+    # no global sort: the dedup shuffle's hash partitioning is
+    # deterministic and the sink sorts rows within each part file —
+    # reruns are byte-identical without a second all-to-all
+    combined.write_datasink(
+        MultiNTriplesGzDatasink(out_dir, triple_names, lineage=lineage)
+    )
+    if not is_complete(ann_dir, lineage):
+        write_ntriples(annotated, ann_dir, lineage=lineage)
+    state.stats.write(os.path.join(out_dir, "stats.tsv"))
+    return {"combined": combined, "annotated-facts": annotated}

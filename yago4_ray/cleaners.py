@@ -206,114 +206,94 @@ def enwiki_to_dbpedia(url: str) -> str:
 
 import json  # noqa: E402
 
+ALL_VALUE_PREDICATES = [
+    T.WIKIBASE_TIME_VALUE,
+    T.WIKIBASE_TIME_PRECISION,
+    T.WIKIBASE_TIME_CALENDAR_MODEL,
+    T.WIKIBASE_GEO_LATITUDE,
+    T.WIKIBASE_GEO_LONGITUDE,
+    T.WIKIBASE_GEO_PRECISION,
+    T.WIKIBASE_GEO_GLOBE,
+    T.WIKIBASE_QUANTITY_AMOUNT,
+    T.WIKIBASE_QUANTITY_UNIT,
+    T.WIKIBASE_QUANTITY_LOWER_BOUND,
+    T.WIKIBASE_QUANTITY_UPPER_BOUND,
+]
 
-def _pivot_group(group: pd.DataFrame) -> dict[str, str]:
-    return dict(zip(group["predicate"], group["object"]))
 
-
-def _build_value_map(
-    statements_root: str,
-    predicates: list[str],
-    convert_row,
-    scan_predicate,
+def build_value_maps(
+    statements_root: str, scan_predicate, uri_mapping_ref
 ) -> Dataset:
-    """groupby(value_node) over the given wikibase predicates, pivot each
-    group to a dict, run `convert_row` → rows
-    (value_node, object, extras_json)."""
-    ds = scan_predicate(statements_root, predicates)
+    """ALL five cleaned-value families in ONE scan + ONE partitioned
+    groupby over value nodes (the reference runs five point-lookup
+    chains in five threads, plan.rs:908-1032).
 
-    def convert_group(group: pd.DataFrame) -> pd.DataFrame:
-        node = group["subject"].iloc[0]
-        by_pred = _pivot_group(group)
-        result = convert_row(node, by_pred)
-        if result is None:
-            return pd.DataFrame({"value_node": [], "object": [], "extras": []})
-        obj, extras = result
-        return pd.DataFrame(
-            {
-                "value_node": [node],
-                "object": [obj],
-                "extras": [json.dumps(extras) if extras else ""],
-            }
+    Output rows: (family, value_node, object, extras_json) with family ∈
+    {time, coordinates, duration, integer, quantity}.
+    """
+    from .joins import get_broadcast, partitioned_group_apply
+
+    ds = scan_predicate(statements_root, ALL_VALUE_PREDICATES)
+
+    def convert_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        uri_mapping = (
+            get_broadcast(uri_mapping_ref)
+            if uri_mapping_ref is not None
+            else {}
         )
+        # first value per (node, predicate) — the reference's
+        # object_for_subject_predicate takes the first hit
+        pdf = pdf.drop_duplicates(["subject", "predicate"])
+        wide = pdf.pivot(index="subject", columns="predicate", values="object")
+        cols = {p: wide[p] if p in wide.columns else None for p in ALL_VALUE_PREDICATES}
+        out = {"family": [], "value_node": [], "object": [], "extras": []}
 
-    return ds.groupby("subject").map_groups(convert_group, batch_format="pandas")
+        def emit(family, node, result):
+            if result is None:
+                return
+            obj, extras = result if isinstance(result, tuple) else (result, [])
+            out["family"].append(family)
+            out["value_node"].append(node)
+            out["object"].append(obj)
+            out["extras"].append(json.dumps(extras) if extras else "")
 
+        def col(p, node):
+            series = cols[p]
+            if series is None:
+                return None
+            v = series.get(node)
+            return None if (v is None or v != v) else v
 
-def build_clean_times(statements_root: str, scan_predicate) -> Dataset:
-    preds = [T.WIKIBASE_TIME_VALUE, T.WIKIBASE_TIME_PRECISION, T.WIKIBASE_TIME_CALENDAR_MODEL]
+        for node in wide.index:
+            tv = col(T.WIKIBASE_TIME_VALUE, node)
+            if tv is not None:
+                tp = col(T.WIKIBASE_TIME_PRECISION, node)
+                tc = col(T.WIKIBASE_TIME_CALENDAR_MODEL, node)
+                if tp is not None and tc is not None:
+                    emit("time", node, convert_time(tv, tp, tc))
+            lat = col(T.WIKIBASE_GEO_LATITUDE, node)
+            if lat is not None:
+                lon = col(T.WIKIBASE_GEO_LONGITUDE, node)
+                gp = col(T.WIKIBASE_GEO_PRECISION, node)
+                gg = col(T.WIKIBASE_GEO_GLOBE, node)
+                if lon is not None and gp is not None and gg is not None:
+                    emit(
+                        "coordinates", node,
+                        convert_globe_coordinates(lat, lon, gp, gg),
+                    )
+            amount = col(T.WIKIBASE_QUANTITY_AMOUNT, node)
+            unit = col(T.WIKIBASE_QUANTITY_UNIT, node)
+            if amount is not None and unit is not None:
+                emit("duration", node, convert_duration_quantity(amount, unit))
+                emit("integer", node, convert_integer_quantity(amount, unit))
+                lower = col(T.WIKIBASE_QUANTITY_LOWER_BOUND, node)
+                upper = col(T.WIKIBASE_QUANTITY_UPPER_BOUND, node)
+                unit_yago = uri_mapping.get(unit)
+                if lower is not None and upper is not None and unit_yago is not None:
+                    emit(
+                        "quantity", node,
+                        convert_quantity(node, unit_yago, amount, lower, upper),
+                    )
+        return pd.DataFrame(out)
 
-    def convert(node, by_pred):
-        if any(p not in by_pred for p in preds):
-            return None
-        out = convert_time(by_pred[preds[0]], by_pred[preds[1]], by_pred[preds[2]])
-        return (out, []) if out is not None else None
-
-    return _build_value_map(statements_root, preds, convert, scan_predicate)
-
-
-def build_clean_coordinates(statements_root: str, scan_predicate) -> Dataset:
-    preds = [
-        T.WIKIBASE_GEO_LATITUDE,
-        T.WIKIBASE_GEO_LONGITUDE,
-        T.WIKIBASE_GEO_PRECISION,
-        T.WIKIBASE_GEO_GLOBE,
-    ]
-
-    def convert(node, by_pred):
-        if any(p not in by_pred for p in preds):
-            return None
-        return convert_globe_coordinates(
-            by_pred[preds[0]], by_pred[preds[1]], by_pred[preds[2]], by_pred[preds[3]]
-        )
-
-    return _build_value_map(statements_root, preds, convert, scan_predicate)
-
-
-def build_clean_durations(statements_root: str, scan_predicate) -> Dataset:
-    preds = [T.WIKIBASE_QUANTITY_AMOUNT, T.WIKIBASE_QUANTITY_UNIT]
-
-    def convert(node, by_pred):
-        if any(p not in by_pred for p in preds):
-            return None
-        out = convert_duration_quantity(by_pred[preds[0]], by_pred[preds[1]])
-        return (out, []) if out is not None else None
-
-    return _build_value_map(statements_root, preds, convert, scan_predicate)
-
-
-def build_clean_integers(statements_root: str, scan_predicate) -> Dataset:
-    preds = [T.WIKIBASE_QUANTITY_AMOUNT, T.WIKIBASE_QUANTITY_UNIT]
-
-    def convert(node, by_pred):
-        if any(p not in by_pred for p in preds):
-            return None
-        out = convert_integer_quantity(by_pred[preds[0]], by_pred[preds[1]])
-        return (out, []) if out is not None else None
-
-    return _build_value_map(statements_root, preds, convert, scan_predicate)
-
-
-def build_clean_quantities(
-    statements_root: str, scan_predicate, uri_mapping: dict[str, str]
-) -> Dataset:
-    """Quantity nodes whose unit maps to a YAGO term; requires amount,
-    unit, lower AND upper bound (plan.rs:994-1022)."""
-    preds = [
-        T.WIKIBASE_QUANTITY_AMOUNT,
-        T.WIKIBASE_QUANTITY_UNIT,
-        T.WIKIBASE_QUANTITY_LOWER_BOUND,
-        T.WIKIBASE_QUANTITY_UPPER_BOUND,
-    ]
-
-    def convert(node, by_pred):
-        if any(p not in by_pred for p in preds):
-            return None
-        unit_yago = uri_mapping.get(by_pred[preds[1]])
-        if unit_yago is None:
-            return None
-        return convert_quantity(
-            node, unit_yago, by_pred[preds[0]], by_pred[preds[2]], by_pred[preds[3]]
-        )
-
-    return _build_value_map(statements_root, preds, convert, scan_predicate)
+    return partitioned_group_apply(ds, ["subject"], convert_part)

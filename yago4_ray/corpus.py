@@ -644,15 +644,28 @@ def materialize_corpus(
 ) -> str:
     """Write (or reuse) the corpus parquet files; returns the directory.
     Layout: one parquet file per table + a _COMPLETE marker for atomicity."""
-    out = os.path.join(cache_root, f"corpus_n{n_entities}_s{seed}")
+    out = os.path.join(cache_root, f"corpus_n{n_entities}_s{seed}_v2")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
     tables = generate_corpus(n_entities, seed)
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
+    # big tables are written as a *directory* of part files (named
+    # <table>.parquet so read_parquet call sites are unchanged): one
+    # 300 MB file caps Ray's read parallelism at a handful of blocks
+    chunk_rows = 100_000
     for name, table in tables.items():
-        pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
+        target = os.path.join(tmp, f"{name}.parquet")
+        if table.num_rows > chunk_rows:
+            os.makedirs(target, exist_ok=True)
+            for i, start in enumerate(range(0, table.num_rows, chunk_rows)):
+                pq.write_table(
+                    table.slice(start, chunk_rows),
+                    os.path.join(target, f"part-{i:04d}.parquet"),
+                )
+        else:
+            pq.write_table(table, target)
     if os.path.exists(out):  # stale partial dir
         import shutil
 

@@ -48,23 +48,20 @@ def exact_dedup(
                 id_col: batch[id_col],
             }
         )
-        # per-batch partial: keep min id + count per hash
+        # per-batch partial: keep min id + count per hash (combiner)
         return out.groupby("__h", as_index=False).agg(
             **{id_col: (id_col, "min"), "n_dupes": (id_col, "size")}
         )
 
-    def reduce_group(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                id_col: [group[id_col].min()],
-                "n_dupes": [int(group["n_dupes"].sum())],
-            }
-        )
+    def reduce_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("__h", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_dupes": ("n_dupes", "sum")}
+        )[[id_col, "n_dupes"]]
 
-    return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("__h")
-        .map_groups(reduce_group, batch_format="pandas")
+    from ..joins import partitioned_group_apply
+
+    return partitioned_group_apply(
+        ds.map_batches(add_hash, batch_format="pandas"), ["__h"], reduce_part
     )
 
 
@@ -143,21 +140,22 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
 
-    def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(group["doc"]))
-        if len(docs) < 2 or len(docs) > 1000:  # degenerate band guard
-            return pd.DataFrame({"a": [], "b": []})
+    def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                out_a.append(docs[i])
-                out_b.append(docs[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        for _, docs in pdf.groupby("band")["doc"]:
+            uniq = sorted(set(docs))
+            if len(uniq) < 2 or len(uniq) > 1000:  # degenerate band guard
+                continue
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    out_a.append(uniq[i])
+                    out_b.append(uniq[j])
+        return pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
 
-    pairs = banded.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
+    from ..joins import distinct_rows, partitioned_group_apply
+
+    pairs = partitioned_group_apply(banded, ["band"], pairs_in_part)
     # dedupe pairs found in multiple bands
-    from ..joins import distinct_rows
-
     return distinct_rows(pairs, ["a", "b"])
 
 
@@ -263,22 +261,25 @@ def simhash_dedup_pairs(
                 out["sim"].append(sh)
         return pd.DataFrame(out)
 
-    def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group["doc"], group["sim"])))
+    def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        for _, grp in pdf.groupby("band"):
+            rows = sorted(set(zip(grp["doc"], grp["sim"])))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
+                        out_a.append(rows[i][0])
+                        out_b.append(rows[j][0])
+        return pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
 
-    from ..joins import distinct_rows
+    from ..joins import distinct_rows, partitioned_group_apply
 
     return distinct_rows(
-        ds.map_batches(add_bands, batch_format="pandas")
-        .groupby("band")
-        .map_groups(pairs_in_band, batch_format="pandas"),
+        partitioned_group_apply(
+            ds.map_batches(add_bands, batch_format="pandas"),
+            ["band"],
+            pairs_in_part,
+        ),
         ["a", "b"],
     )
 
@@ -321,30 +322,32 @@ def embedding_dedup_pairs(
              "vec": [v.tobytes() for v in mat]}
         )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2 or len(group) > 2000:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        ids = group["id"].to_numpy()
-        mat = np.stack(
-            [np.frombuffer(v, dtype=np.float32) for v in group["vec"]]
-        )
-        sims = mat @ mat.T
+    def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_c = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold and ids[i] != ids[j]:
+        for _, group in pdf.groupby("bucket"):
+            if len(group) < 2 or len(group) > 2000:
+                continue
+            ids = group["id"].to_numpy()
+            mat = np.stack(
+                [np.frombuffer(v, dtype=np.float32) for v in group["vec"]]
+            )
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                if ids[i] != ids[j]:
                     a, b = sorted([ids[i], ids[j]])
                     out_a.append(a)
                     out_b.append(b)
                     out_c.append(float(sims[i, j]))
         return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
 
-    from ..joins import distinct_rows
+    from ..joins import distinct_rows, partitioned_group_apply
 
     return distinct_rows(
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas"),
+        partitioned_group_apply(
+            ds.map_batches(bucket, batch_format="pandas"),
+            ["bucket"],
+            pairs_in_part,
+        ),
         ["a", "b"],
     )

@@ -91,11 +91,15 @@ def semi_join(
 # Dataset ⨝ Dataset
 # ---------------------------------------------------------------------------
 
-def default_join_partitions(cap: int | None = None) -> int:
+def default_join_partitions(cap: int | None = 8) -> int:
     """Join partition count sized to the cluster: Ray's hash join spawns
-    one aggregator actor per partition (each reserving CPU), so more
-    partitions than cores STALLS a small session and wastes scheduling
-    at any size. ~1 partition per 2 cores, clamped."""
+    one aggregator actor per partition — each reserves a CPU, and each
+    is a fresh actor whose ~1s startup is pure overhead for the join.
+    More partitions than cores stalls a small session; many partitions
+    on small data pays actor startup for nothing (measured: np=16 is
+    1.6× slower than np=4 on a 400k-row join at 32 CPUs). ~1 per 2
+    cores, capped low; callers with genuinely large joins pass an
+    explicit count sized to data volume."""
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     n = max(2, cpus // 2)
     return min(n, cap) if cap else n
@@ -127,28 +131,58 @@ def hash_join(
 _SEP = "\x00"
 
 
-def distinct_rows(ds: Dataset, columns: list[str]) -> Dataset:
-    """Exact distinct on `columns` via hash partition + per-group first
-    (G6; SURVEY §2.7). The grouping key is the concatenation of all
-    columns, so skewed single-column values don't skew partitions."""
+def partitioned_group_apply(
+    ds: Dataset,
+    key_columns: list[str],
+    fn,
+    num_parts: int = 32,
+    combine=None,
+) -> Dataset:
+    """Grouped computation WITHOUT per-group Python overhead:
+    hash-partition rows into `num_parts` coarse parts (every row of a
+    key lands in one part), then call `fn` once per PART with a pandas
+    DataFrame containing complete groups — `fn` does its own vectorized
+    `pdf.groupby(...)`. Ray's `map_groups` calls the UDF once per group,
+    which collapses at high key cardinality (~ms of overhead × millions
+    of groups); this keeps it to `num_parts` calls.
 
-    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch[columns[0]].astype(str)
-        for c in columns[1:]:
+    The part key hashes ALL key columns, so a skewed single column only
+    skews if one exact key dominates — for that case raise num_parts or
+    pre-salt (SURVEY §4 skew notes). `combine`, if given, runs per batch
+    before the shuffle (combiner-style pre-reduction)."""
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        if combine is not None:
+            batch = combine(batch)
+        key = batch[key_columns[0]].astype(str)
+        for c in key_columns[1:]:
             key = key + _SEP + batch[c].astype(str)
         batch = batch.copy()
-        batch["__key"] = key
-        # per-batch pre-dedup shrinks the shuffle (combiner-style)
-        return batch.drop_duplicates("__key")
+        batch["__part"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_parts
+        ).astype("int64")
+        return batch
 
-    def first_per_group(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def apply_part(part: pd.DataFrame) -> pd.DataFrame:
+        return fn(part.drop(columns=["__part"]))
 
     return (
-        ds.map_batches(add_key, batch_format="pandas")
-        .groupby("__key")
-        .map_groups(first_per_group, batch_format="pandas")
-        .drop_columns(["__key"])
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(apply_part, batch_format="pandas")
+    )
+
+
+def distinct_rows(ds: Dataset, columns: list[str], num_parts: int = 32) -> Dataset:
+    """Exact distinct on `columns` (G6; SURVEY §2.7): per-batch
+    combiner pre-dedup, then one partitioned dedup. Keyed on ALL
+    columns, so hub values in one column can't skew partitions."""
+    return partitioned_group_apply(
+        ds,
+        columns,
+        lambda pdf: pdf.drop_duplicates(columns),
+        num_parts=num_parts,
+        combine=lambda pdf: pdf.drop_duplicates(columns),
     )
 
 
@@ -156,28 +190,17 @@ def group_filter_by_count(
     ds: Dataset,
     key_columns: list[str],
     max_count: int,
+    num_parts: int = 32,
 ) -> Dataset:
     """Drop every row of any group with more than `max_count` rows —
     sh:maxCount enforcement discards the WHOLE group, it does not
     truncate (plan.rs:1141-1158)."""
 
-    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch[key_columns[0]].astype(str)
-        for c in key_columns[1:]:
-            key = key + _SEP + batch[c].astype(str)
-        batch = batch.copy()
-        batch["__key"] = key
-        return batch
+    def keep_small(pdf: pd.DataFrame) -> pd.DataFrame:
+        sizes = pdf.groupby(key_columns)[key_columns[0]].transform("size")
+        return pdf[sizes <= max_count]
 
-    def keep_small(group: pd.DataFrame) -> pd.DataFrame:
-        return group if len(group) <= max_count else group.iloc[0:0]
-
-    return (
-        ds.map_batches(add_key, batch_format="pandas")
-        .groupby("__key")
-        .map_groups(keep_small, batch_format="pandas")
-        .drop_columns(["__key"])
-    )
+    return partitioned_group_apply(ds, key_columns, keep_small, num_parts)
 
 
 def top_hot_keys(ds: Dataset, column: str, threshold: int) -> list[str]:

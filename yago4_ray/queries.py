@@ -133,10 +133,20 @@ def q4_top_parts_by_quantity(sf_dir: str):
             "qty": pc.cast(t["l_quantity"], pa.int64()),
         })
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("qty", alias_name="sum_qty"))
+    from .joins import partitioned_group_apply
+
+    def agg_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("l_partkey", as_index=False).agg(sum_qty=("qty", "sum"))
+
+    # high-cardinality key → partitioned pandas agg (native .aggregate()
+    # pays per-group Python overhead), with a per-batch combiner
+    agg = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_partkey"],
+        agg_part,
+        combine=lambda pdf: pdf.groupby("l_partkey", as_index=False).agg(
+            qty=("qty", "sum")
+        ),
     )
     top = agg.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
     return top
@@ -208,13 +218,18 @@ def q7_hourly_user_activity(sf_dir: str):
             "value_cents": (df["value"] * _CENTS).round().astype("int64"),
         })
 
-    return (
-        ds.map_batches(prep, batch_format="pandas")
-        .groupby(["user_id", "epoch_hour"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="sum_value_cents"),
+    from .joins import partitioned_group_apply
+
+    def agg_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(["user_id", "epoch_hour"], as_index=False).agg(
+            n_events=("value_cents", "size"),
+            sum_value_cents=("value_cents", "sum"),
         )
+
+    return partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id", "epoch_hour"],
+        agg_part,
     )
 
 

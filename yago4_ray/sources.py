@@ -69,6 +69,13 @@ def write_statement_store(ds: Dataset, root: str, dedup: bool = True) -> None:
         from .joins import distinct_rows
 
         ds = distinct_rows(ds, ["subject", "predicate", "object"])
+    # cluster by predicate before the hive write: without this every
+    # (block × key) pair becomes its own tiny file (measured: 2k files
+    # for 16 MB) and every downstream scan fans into thousands of read
+    # tasks. After the sort each predicate spans ~1 block → O(#keys)
+    # files, and (predicate, subject) ordering matches the reference
+    # index's scan order (partitioned_statements.rs:39-48).
+    ds = ds.sort(["predicate", "subject", "object"])
 
     def add_key(batch: pa.Table) -> pa.Table:
         keys = pa.array(
@@ -151,13 +158,30 @@ def read_ntriples(paths: str | list[str]) -> Dataset:
 class NTriplesGzDatasink(Datasink):
     """Writes one part-NNNNN.nt.gz per task: rows must have columns
     (subject, predicate, object) and optionally (annotation_predicate,
-    annotation_object) for RDF* lines (plan.rs:2314-2358, model.rs:51-63)."""
+    annotation_object) for RDF* lines (plan.rs:2314-2358, model.rs:51-63).
+    With `lineage` set, a checkpoint manifest is committed on completion
+    (yago4_ray.checkpoint)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, lineage: str | None = None):
         self.path = path
+        self.lineage = lineage
+        self._start = None
 
     def on_write_start(self):
+        import time
+
+        self._start = time.perf_counter()
         os.makedirs(self.path, exist_ok=True)
+
+    def on_write_complete(self, write_result):
+        if self.lineage is None:
+            return
+        import time
+
+        from .checkpoint import write_manifest
+
+        wall = time.perf_counter() - (self._start or time.perf_counter())
+        write_manifest(self.path, self.lineage, write_result.num_rows, wall)
 
     def write(self, blocks, ctx):
         idx = ctx.task_idx
@@ -167,6 +191,8 @@ class NTriplesGzDatasink(Datasink):
             for block in blocks:
                 table = BlockAccessor.for_block(block).to_arrow()
                 names = table.column_names
+                if table.num_rows == 0 or "subject" not in names:
+                    continue  # empty shuffle partitions carry no schema
                 annotated = "annotation_predicate" in names
                 cols = [table[c].to_pylist() for c in ("subject", "predicate", "object")]
                 if annotated:
@@ -184,14 +210,99 @@ class NTriplesGzDatasink(Datasink):
         return "ok"
 
 
-def write_ntriples(ds: Dataset, path: str, sort: bool = True) -> None:
+class MultiNTriplesGzDatasink(Datasink):
+    """Partitioned N-Triples writer: rows carry a `file` column naming
+    their logical output; each write task appends its rows, grouped by
+    file, to `<base>/<dirname>/part-<task>.nt.gz` (atomic tmp+rename).
+    One Ray write job materializes every output table at once; per-file
+    checkpoint manifests are committed on completion."""
+
+    def __init__(self, base_dir: str, file_names: dict[str, str],
+                 lineage: str | None = None):
+        self.base_dir = base_dir
+        self.file_names = file_names  # file tag → directory name
+        self.lineage = lineage
+        self._start = None
+
+    def on_write_start(self):
+        import time
+
+        self._start = time.perf_counter()
+        for name in self.file_names.values():
+            os.makedirs(os.path.join(self.base_dir, name), exist_ok=True)
+
+    def write(self, blocks, ctx):
+        counts: dict[str, int] = {}
+        writers: dict[str, object] = {}
+        tmp_paths: dict[str, tuple[str, str]] = {}
+        try:
+            for block in blocks:
+                table = BlockAccessor.for_block(block).to_arrow()
+                if table.num_rows == 0 or "file" not in table.column_names:
+                    continue
+                df = (
+                    table.select(["file", "subject", "predicate", "object"])
+                    .to_pandas()
+                    .sort_values(["file", "subject", "predicate", "object"])
+                )
+                for tag, group in df.groupby("file", sort=False):
+                    name = self.file_names.get(tag)
+                    if name is None:
+                        continue
+                    if tag not in writers:
+                        out = os.path.join(
+                            self.base_dir, name, f"part-{ctx.task_idx:05d}.nt.gz"
+                        )
+                        tmp = out + ".tmp"
+                        tmp_paths[tag] = (tmp, out)
+                        writers[tag] = gzip.open(
+                            tmp, "wt", encoding="utf-8", compresslevel=1
+                        )
+                    f = writers[tag]
+                    for s, p, o in zip(
+                        group["subject"], group["predicate"], group["object"]
+                    ):
+                        f.write(T.format_triple(s, p, o) + "\n")
+                    counts[tag] = counts.get(tag, 0) + len(group)
+        finally:
+            for tag, f in writers.items():
+                f.close()
+        for tag, (tmp, out) in tmp_paths.items():
+            os.replace(tmp, out)
+        return counts
+
+    def on_write_complete(self, write_result):
+        if self.lineage is None:
+            return
+        import time
+
+        from .checkpoint import write_manifest
+
+        wall = time.perf_counter() - (self._start or time.perf_counter())
+        totals: dict[str, int] = {}
+        for counts in write_result.write_returns:
+            for tag, n in (counts or {}).items():
+                totals[tag] = totals.get(tag, 0) + n
+        for tag, name in self.file_names.items():
+            write_manifest(
+                os.path.join(self.base_dir, name),
+                self.lineage,
+                totals.get(tag, 0),
+                wall,
+            )
+
+
+def write_ntriples(
+    ds: Dataset, path: str, sort: bool = True, lineage: str | None = None
+) -> None:
     """Deterministic N-Triples output: subject-sorted partitions (our
-    addition over the reference's unordered HashMap output — SURVEY §2.6)."""
+    addition over the reference's unordered HashMap output — SURVEY
+    §2.6), atomic part files, optional checkpoint manifest."""
     if sort:
         cols = ds.schema().names
         keys = [c for c in ("subject", "predicate", "object") if c in cols]
         ds = ds.sort(keys)
-    ds.write_datasink(NTriplesGzDatasink(path))
+    ds.write_datasink(NTriplesGzDatasink(path, lineage=lineage))
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,8 @@ both representations are produced here.
 from __future__ import annotations
 
 import os
+import sys
+import types
 from collections import defaultdict
 from dataclasses import dataclass, field
 from urllib.parse import unquote
@@ -34,6 +36,19 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
+
+# fsspec's http module needs aiohttp (absent here). Ray re-imports it on
+# every path resolution and catches the ModuleNotFoundError — but when
+# several Dataset executions start from threads, the CONCURRENT first
+# import surfaces as a partially-initialized-module ImportError instead
+# and escapes Ray's except clause. Pre-installing a minimal stub makes
+# the import race-free (there is no network in this sandbox anyway).
+try:  # pragma: no cover - depends on environment
+    import fsspec.implementations.http  # noqa: F401
+except ImportError:
+    _http_stub = types.ModuleType("fsspec.implementations.http")
+    _http_stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules.setdefault("fsspec.implementations.http", _http_stub)
 
 from . import graph as G
 from . import terms as T
@@ -90,6 +105,28 @@ class BuildState:
             obj = getattr(self, name)
             self._refs[name] = ray.put(obj)
         return self._refs[name]
+
+    def packed_ref(self, name: str) -> "ray.ObjectRef":
+        """Zero-copy broadcast forms (yago4_ray.broadcast): numpy/Arrow
+        buffers instead of pickled dicts — workers pay ~nothing to
+        ray.get them, which is what makes wide fan-out scale."""
+        key = f"packed:{name}"
+        if key not in self._refs:
+            from .broadcast import HashedMap, HashedSet
+
+            if name == "uri_mapping":
+                obj = HashedMap(self.uri_mapping)
+            elif name == "shape_instances":
+                obj = {
+                    shape: HashedSet(instances)
+                    for shape, instances in self.shape_instances.items()
+                }
+            elif name == "things":
+                obj = HashedSet(self.things())
+            else:
+                raise KeyError(name)
+            self._refs[key] = ray.put(obj)
+        return self._refs[key]
 
     def things(self) -> set[str]:
         return self.shape_instances.get(T.SCHEMA_THING, set())
@@ -219,27 +256,37 @@ def build_uri_mapping(
 
     label_rows = labels.map_batches(label_candidates, batch_format="pandas")
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
-        item = group["item"].iloc[0]
-        best = group["priority"].min()
-        if best == 0:
-            uri = group[group["priority"] == 0]["uri"].iloc[0]
-        elif 99 not in group["priority"].values:
-            return pd.DataFrame({"item": [], "uri": []})  # not a kept item
-        elif best < 99:
-            cands = group[group["priority"] == best]
-            uri = sorted(cands["uri"])[0]
-        else:  # only the marker: fallback _Q{id}
-            qid = T.qid_of(item)
-            if qid is None:
-                return pd.DataFrame({"item": [], "uri": []})
-            uri = T.iri(f"{T.YAGO_RESOURCE_PREFIX}_{qid}")
-        return pd.DataFrame({"item": [item], "uri": [uri]})
+    def merge_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized priority merge over complete item groups."""
+        p0 = pdf[pdf["priority"] == 0].drop_duplicates("item")
+        marked = pdf.loc[pdf["priority"] == 99, "item"]
+        marked_set = set(marked)
+        cand = pdf[(pdf["priority"] > 0) & (pdf["priority"] < 99)]
+        cand = cand[
+            cand["item"].isin(marked_set) & ~cand["item"].isin(set(p0["item"]))
+        ]
+        cand = cand.sort_values(["item", "priority", "uri"]).drop_duplicates("item")
+        covered = set(p0["item"]) | set(cand["item"])
+        rest = marked[~marked.isin(covered)].drop_duplicates()
+        # fallback _Q{id}: vectorized qid extraction
+        qids = rest.str.extract(
+            r"^<http://www\.wikidata\.org/entity/(Q[0-9]+)>$", expand=False
+        )
+        fallback = pd.DataFrame({"item": rest, "qid": qids}).dropna()
+        fallback["uri"] = (
+            "<" + T.YAGO_RESOURCE_PREFIX + "_" + fallback["qid"] + ">"
+        )
+        return pd.concat(
+            [p0[["item", "uri"]], cand[["item", "uri"]], fallback[["item", "uri"]]],
+            ignore_index=True,
+        )
 
-    merged = (
-        schema_rows.union(wiki_rows, label_rows, markers)
-        .groupby("item")
-        .map_groups(merge_group, batch_format="pandas")
+    from .joins import partitioned_group_apply
+
+    merged = partitioned_group_apply(
+        schema_rows.union(wiki_rows, label_rows, markers),
+        ["item"],
+        merge_part,
     )
     pairs = merged.to_pandas()
     mapping = dict(zip(pairs["item"], pairs["uri"]))
@@ -269,12 +316,39 @@ def subclass_of_from_yago_schema(schema: Schema) -> list[tuple[str, str]]:
     return edges
 
 
+def collect_p279_edges(root: str) -> list[tuple[str, str]]:
+    """P279 edge list (class-graph scale → driver)."""
+    p279 = scan_predicate(root, f"<{T.WDT}P279>").to_pandas()
+    return list(zip(p279["subject"], p279["object"]))
+
+
+def collect_instance_counts(root: str) -> dict[str, int]:
+    """Distinct-instance count per class: per-batch combiner (store rows
+    are globally distinct, so batch-level nunique partials sum exactly),
+    then a partitioned reduce — hub classes like Q5 cannot skew it."""
+    from .joins import partitioned_group_apply
+
+    p31 = scan_predicate(root, f"<{T.WDT}P31>")
+    counts_df = partitioned_group_apply(
+        p31.map_batches(
+            lambda b: b.groupby("object", as_index=False)
+            .agg(n=("subject", "nunique")),
+            batch_format="pandas",
+        ),
+        ["object"],
+        lambda pdf: pdf.groupby("object", as_index=False).agg(n=("n", "sum")),
+    ).to_pandas()
+    return dict(zip(counts_df["object"], counts_df["n"]))
+
+
 def build_class_machinery(
     root: str,
     schema: Schema,
     stats: Stats,
     uri_mapping: dict[str, str],
     enwiki_mapping: dict[str, str],
+    all_sub_class_of: list[tuple[str, str]] | None = None,
+    instance_counts: dict[str, int] | None = None,
 ) -> tuple[set[str], dict[str, list[str]], dict[str, list[str]]]:
     """The 7-step class algorithm of plan.rs:384-614. P279 edges and
     per-class instance counts come from two Dataset reductions; the
@@ -283,9 +357,8 @@ def build_class_machinery(
         fc for shape in schema.node_shapes() for fc in shape.from_classes
     ]
 
-    # P279 edge list (class-graph scale → driver)
-    p279 = scan_predicate(root, f"<{T.WDT}P279>").to_pandas()
-    all_sub_class_of = list(zip(p279["subject"], p279["object"]))
+    if all_sub_class_of is None:
+        all_sub_class_of = collect_p279_edges(root)
     stats.set_global("Wikidata sub class of", len(all_sub_class_of))
 
     # mapped classes keep only schema-side superclasses (plan.rs:433-436)
@@ -294,20 +367,8 @@ def build_class_machinery(
     )
     super_class_of = G.invert(sub_class_of)
 
-    # per-class direct-instance counts: distributed combiner + tiny reduce
-    p31 = scan_predicate(root, f"<{T.WDT}P31>")
-    counts_df = (
-        p31.map_batches(
-            lambda b: b.groupby("object", as_index=False)
-            .agg(n=("subject", "nunique")),
-            batch_format="pandas",
-        )
-        .groupby("object")
-        .sum("n")
-        .to_pandas()
-    )
-    count_col = "sum(n)" if "sum(n)" in counts_df.columns else "n"
-    instance_counts = dict(zip(counts_df["object"], counts_df[count_col]))
+    if instance_counts is None:
+        instance_counts = collect_instance_counts(root)
 
     bad_classes = G.transitive_closure(T.WD_BAD_CLASSES, super_class_of)
     stats.set_global("bad classes", len(bad_classes))
@@ -443,10 +504,12 @@ def build_shape_instances(
             disjoint_pairs.add((cls.id, other))
             disjoint_pairs.add((other, cls.id))
 
+    from .broadcast import HashedMap, HashedSet
+
     refs = {
-        "wd_class_to_shapes": ray.put(wd_class_to_shapes),
-        "uri_mapping": ray.put(uri_mapping),
-        "yago_classes": ray.put(yago_classes),
+        "wd_class_to_shapes": ray.put(wd_class_to_shapes),  # class-scale
+        "uri_mapping": ray.put(HashedMap(uri_mapping)),  # zero-copy
+        "yago_classes": ray.put(HashedSet(yago_classes)),
         "disjoint_pairs": ray.put(disjoint_pairs),
     }
 
@@ -456,36 +519,50 @@ def build_shape_instances(
         class_map = get_broadcast(refs["wd_class_to_shapes"])
         uris = get_broadcast(refs["uri_mapping"])
         classes = get_broadcast(refs["yago_classes"])
-        out_shape, out_instance = [], []
-        for instance_wd, class_wd in zip(batch["subject"], batch["object"]):
-            shapes = class_map.get(class_wd)
-            if not shapes:
-                continue
-            instance = uris.get(instance_wd)
-            if instance is None or instance in classes:
-                continue  # "we do not want classes" (plan.rs:686)
-            for shape in shapes:
-                out_shape.append(shape)
-                out_instance.append(instance)
-        return pd.DataFrame({"shape": out_shape, "instance": out_instance})
+        instances = uris.lookup(batch["subject"])
+        # "we do not want classes" (plan.rs:686)
+        keep = instances.notna().to_numpy() & ~classes.contains(
+            instances.fillna("")
+        )
+        base = pd.DataFrame(
+            {"wd_class": batch["object"], "instance": instances}
+        )[keep]
+        outs = []
+        for wd_class, group in base.groupby("wd_class", sort=False):
+            for shape in class_map.get(wd_class, ()):
+                outs.append(
+                    pd.DataFrame({"shape": shape, "instance": group["instance"]})
+                )
+        if not outs:
+            return pd.DataFrame({"shape": [], "instance": []}).astype(str)
+        return pd.concat(outs, ignore_index=True)
 
     fanned = p31.map_batches(fan_out, batch_format="pandas")
 
-    def resolve_instance(group: pd.DataFrame) -> pd.DataFrame:
-        """Dedup shapes for one instance; drop the instance entirely when
-        it belongs to two disjoint shapes (plan.rs:692-730)."""
+    def resolve_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Dedup (shape, instance); drop instances that belong to two
+        disjoint shapes (plan.rs:692-730). Vectorized set algebra over
+        complete instance groups."""
         pairs = get_broadcast(refs["disjoint_pairs"])
-        shapes = sorted(set(group["shape"]))
-        shape_set = set(shapes)
+        pdf = pdf.drop_duplicates(["shape", "instance"])
+        bad: set = set()
+        members = {
+            shape: set(pdf.loc[pdf["shape"] == shape, "instance"])
+            for shape in {a for a, _ in pairs} | {b for _, b in pairs}
+        }
         for a, b in pairs:
-            if a in shape_set and b in shape_set:
-                return group.iloc[0:0]
-        return pd.DataFrame(
-            {"shape": shapes, "instance": [group["instance"].iloc[0]] * len(shapes)}
-        )
+            bad |= members.get(a, set()) & members.get(b, set())
+        if bad:
+            pdf = pdf[~pdf["instance"].isin(bad)]
+        return pdf
 
-    resolved = fanned.groupby("instance").map_groups(
-        resolve_instance, batch_format="pandas"
+    from .joins import partitioned_group_apply
+
+    resolved = partitioned_group_apply(
+        fanned,
+        ["instance"],
+        resolve_part,
+        combine=lambda pdf: pdf.drop_duplicates(["shape", "instance"]),
     )
 
     result = resolved.to_pandas()
@@ -506,16 +583,29 @@ def build_state(
     schema: Schema | None = None,
     size: str = "full",
 ) -> BuildState:
+    import concurrent.futures as _cf
+
     schema = schema or Schema.open()
     stats = Stats()
-    enwiki_mapping = build_enwiki_mapping(statements_root)
+    # the four input reductions are independent — run them as concurrent
+    # Ray Data executions (the reference overlaps its state builds with
+    # threads too, plan.rs:908-1032)
+    with _cf.ThreadPoolExecutor(max_workers=4) as pool:
+        f_enwiki = pool.submit(build_enwiki_mapping, statements_root)
+        f_uri = pool.submit(build_uri_mapping, statements_root, schema, stats, size)
+        f_p279 = pool.submit(collect_p279_edges, statements_root)
+        f_counts = pool.submit(collect_instance_counts, statements_root)
+        enwiki_mapping = f_enwiki.result()
+        uri_mapping, uri_ds = f_uri.result()
+        p279_edges = f_p279.result()
+        instance_counts = f_counts.result()
     stats.set_global(
         "Wikidata items mapped to English Wikipedia articles", len(enwiki_mapping)
     )
-    uri_mapping, uri_ds = build_uri_mapping(statements_root, schema, stats, size)
     yago_classes, wd_to_yago_class_mapping, yago_super_class_of = (
         build_class_machinery(
-            statements_root, schema, stats, uri_mapping, enwiki_mapping
+            statements_root, schema, stats, uri_mapping, enwiki_mapping,
+            all_sub_class_of=p279_edges, instance_counts=instance_counts,
         )
     )
     shape_instances, inst_ds = build_shape_instances(

@@ -194,7 +194,7 @@ def wd(qid: str | int) -> str:
 _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
 _UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
 _ESCAPE_RE = re.compile(r'[\\"\n\r\t]')
-_UNESCAPE_RE = re.compile(r"\\.")
+_UNESCAPE_RE = re.compile(r"\\u[0-9a-fA-F]{4}|\\U[0-9a-fA-F]{8}|\\.")
 
 
 def _escape(value: str) -> str:
@@ -202,7 +202,13 @@ def _escape(value: str) -> str:
 
 
 def _unescape(value: str) -> str:
-    return _UNESCAPE_RE.sub(lambda m: _UNESCAPES.get(m.group(0), m.group(0)[1]), value)
+    def sub(m):
+        s = m.group(0)
+        if s.startswith("\\u") or s.startswith("\\U"):
+            return chr(int(s[2:], 16))  # N-Triples \uXXXX / \UXXXXXXXX
+        return _UNESCAPES.get(s, s[1])
+
+    return _UNESCAPE_RE.sub(sub, value)
 
 
 def string_literal(value: str) -> str:
