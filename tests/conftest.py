@@ -2,6 +2,7 @@ import os
 import sys
 
 import pytest
+import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -44,3 +45,43 @@ def statements_root(corpus_dir, tmp_path_factory):
     ds = ray.data.read_parquet(os.path.join(corpus_dir, "statements.parquet"))
     write_statement_store(ds, root)
     return root
+
+
+@pytest.fixture(scope="session")
+def build_outputs(statements_root):
+    from yago4_ray.build import generate_yago
+
+    outputs = generate_yago(statements_root, write=False)
+    result = {}
+    for name, ds in outputs.items():
+        df = ds.to_pandas()
+        if "annotation_predicate" in df.columns:
+            result[name] = set(
+                zip(df["subject"], df["predicate"], df["object"],
+                    df["annotation_predicate"], df["annotation_object"])
+            )
+        else:
+            result[name] = set(
+                zip(df["subject"], df["predicate"], df["object"])
+            )
+    return result
+
+
+@pytest.fixture(scope="session")
+def oracle_outputs(corpus_dir):
+    from oracle import oracle_build
+
+    from yago4_ray.schema import Schema
+
+    table = pq.read_table(os.path.join(corpus_dir, "statements.parquet"))
+    triples = list(
+        zip(
+            table["subject"].to_pylist(),
+            table["predicate"].to_pylist(),
+            table["object"].to_pylist(),
+        )
+    )
+    return oracle_build(triples, Schema.open())
+
+
+

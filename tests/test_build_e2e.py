@@ -5,14 +5,7 @@ target P=R=1.0 on the deterministic fixture, gate ≥0.95 per
 BASELINE.json).
 """
 
-import os
-
-import pyarrow.parquet as pq
 import pytest
-
-from oracle import oracle_build
-from yago4_ray.build import generate_yago
-from yago4_ray.schema import Schema
 
 
 def _pr(got: set, want: set):
@@ -22,37 +15,6 @@ def _pr(got: set, want: set):
     precision = tp / len(got) if got else 0.0
     recall = tp / len(want) if want else 0.0
     return precision, recall
-
-
-@pytest.fixture(scope="session")
-def build_outputs(statements_root):
-    outputs = generate_yago(statements_root, write=False)
-    result = {}
-    for name, ds in outputs.items():
-        df = ds.to_pandas()
-        if "annotation_predicate" in df.columns:
-            result[name] = set(
-                zip(df["subject"], df["predicate"], df["object"],
-                    df["annotation_predicate"], df["annotation_object"])
-            )
-        else:
-            result[name] = set(
-                zip(df["subject"], df["predicate"], df["object"])
-            )
-    return result
-
-
-@pytest.fixture(scope="session")
-def oracle_outputs(corpus_dir):
-    table = pq.read_table(os.path.join(corpus_dir, "statements.parquet"))
-    triples = list(
-        zip(
-            table["subject"].to_pylist(),
-            table["predicate"].to_pylist(),
-            table["object"].to_pylist(),
-        )
-    )
-    return oracle_build(triples, Schema.open())
 
 
 @pytest.mark.parametrize(

@@ -1,0 +1,99 @@
+"""Size flavors e2e, ingest from N-Triples, replicated reference quirks."""
+
+import gzip
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from oracle import oracle_build
+from yago4_ray import terms as T
+from yago4_ray.schema import Schema
+
+
+@pytest.fixture(scope="module")
+def corpus_triples(corpus_dir):
+    table = pq.read_table(os.path.join(corpus_dir, "statements.parquet"))
+    return list(
+        zip(
+            table["subject"].to_pylist(),
+            table["predicate"].to_pylist(),
+            table["object"].to_pylist(),
+        )
+    )
+
+
+def test_en_wikipedia_flavor_matches_oracle(statements_root, corpus_triples):
+    """The --en-wiki flavor restricts the entity universe
+    (plan.rs:263-279); facts must match the oracle under the same size."""
+    from yago4_ray.build import build_facts
+    from yago4_ray.state import build_state
+
+    state = build_state(statements_root, size="en-wikipedia")
+    facts, _ = build_facts(statements_root, state)
+    df = facts.to_pandas()
+    got = set(zip(df["subject"], df["predicate"], df["object"]))
+    want = oracle_build(corpus_triples, Schema.open(), size="en-wikipedia")["facts"]
+    assert got == want
+    # strictly smaller universe than full
+    full_want = oracle_build(corpus_triples, Schema.open(), size="full")["facts"]
+    assert len(want) < len(full_want)
+
+
+def test_ingest_from_ntriples_gz(ray_session, tmp_path, corpus_triples):
+    """Dump → .nt.gz → CLI partition → scan parity with parquet ingest
+    (the reference's `partition -f dump.nt.gz` path)."""
+    import ray.data
+
+    from yago4_ray.__main__ import main
+    from yago4_ray.sources import scan_predicate
+
+    dump = tmp_path / "dump.nt.gz"
+    sample = corpus_triples[:5000]
+    with gzip.open(dump, "wt", encoding="utf-8") as f:
+        for s, p, o in sample:
+            f.write(f"{s} {p} {o} .\n")
+        f.write("a malformed line that must be skipped\n")
+    store = str(tmp_path / "nt_store")
+    main(["partition", "-f", str(dump), "-o", store])
+    preds = {p for _, p, _ in sample}
+    total = 0
+    for pred in list(preds)[:5]:
+        df = scan_predicate(store, pred).to_pandas()
+        want = {(s, o) for s, p, o in sample if p == pred}
+        assert set(zip(df["subject"], df["object"])) == want
+        total += len(df)
+    assert total > 0
+
+
+def test_unique_lang_not_enforced(build_outputs):
+    """sh:uniqueLang is parsed and re-emitted as shape metadata but never
+    enforced on facts (SURVEY §2.5): entities with labels in several
+    languages keep them all."""
+    labels = build_outputs["labels"]
+    by_subject = {}
+    for s, p, o in labels:
+        if p == T.RDFS_LABEL:
+            by_subject.setdefault(s, []).append(o)
+    multi = [objs for objs in by_subject.values() if len(objs) > 1]
+    assert multi, "fixture should produce multi-language labels"
+    # and the shapes output carries the uniqueLang declaration
+    shapes = build_outputs["shapes"]
+    assert any(p == T.SH_UNIQUE_LANG for _, p, _ in shapes)
+
+
+def test_maxcount_group_dropped(build_outputs, oracle_outputs):
+    """A subject with two best-rank P856 urls loses BOTH (whole-group
+    drop, plan.rs:1141-1158): verify at least one such case exists and
+    neither url survived."""
+    url_pred = "<http://schema.org/url>"
+    got_urls = {
+        (s, o) for s, p, o in build_outputs["facts"] if p == url_pred
+    }
+    want_urls = {
+        (s, o) for s, p, o in oracle_outputs["facts"] if p == url_pred
+    }
+    assert got_urls == want_urls
+    # subjects appear at most once (maxCount 1 enforced by dropping)
+    subjects = [s for s, _ in got_urls]
+    assert len(subjects) == len(set(subjects))
