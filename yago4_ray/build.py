@@ -23,17 +23,14 @@ Outputs (same logical tables as plan.rs:105-196):
 from __future__ import annotations
 
 import json
-import re
 from dataclasses import dataclass
 
 import pandas as pd
-import pyarrow as pa
 import ray
 import ray.data
 from ray.data import Dataset
 
 from . import cleaners as C
-from . import graph as G
 from . import terms as T
 from .joins import distinct_rows, get_broadcast, hash_join
 from .schema import PropertyShape, Schema
@@ -1054,14 +1051,62 @@ def generate_yago(
     ) and is_complete(ann_dir, lineage)
     if all_done:
         return {}  # resume: everything already written from this input
-    combined, annotated = build_combined(statements_root, state)
-    # no global sort: the dedup shuffle's hash partitioning is
-    # deterministic and the sink sorts rows within each part file —
-    # reruns are byte-identical without a second all-to-all
+
+    # Staged materialization: the 9 raw output pipelines run as
+    # CONCURRENT small jobs (thread-submitted) into a parquet staging
+    # dir, then ONE linear job does the full-key dedup shuffle and the
+    # partitioned gz write. A single union-of-9-pipelines DAG is
+    # scheduler-bound and anti-scales (measured 47.6 s vs 28.0 s at 32
+    # CPUs on 2.2 M statements); the staged split keeps every job's
+    # operator count small. No global sort: hash partitioning is
+    # deterministic and the sink sorts within each part file, so reruns
+    # are byte-identical.
+    import concurrent.futures as _cf
+    import glob
+    import shutil
+
+    outputs, annotated = build_outputs_raw(statements_root, state)
+    stage_dir = os.path.join(out_dir, ".stage")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def tag(name):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["file"] = name
+            return batch
+
+        return fn
+
+    def stage_one(name, ds):
+        ds.map_batches(tag(name), batch_format="pandas").write_parquet(
+            os.path.join(stage_dir, name)
+        )
+
+    with _cf.ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [
+            pool.submit(stage_one, name, ds) for name, ds in outputs.items()
+        ]
+        if not is_complete(ann_dir, lineage):
+            ann_sorted = distinct_rows(
+                annotated,
+                ["subject", "predicate", "object",
+                 "annotation_predicate", "annotation_object"],
+            )
+            futures.append(
+                pool.submit(write_ntriples, ann_sorted, ann_dir, True, lineage)
+            )
+        for f in futures:
+            f.result()
+
+    staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
+    combined = distinct_rows(
+        ray.data.read_parquet(staged_files),
+        ["file", "subject", "predicate", "object"],
+        keep_part_column=True,  # deterministic part-file naming in the sink
+    )
     combined.write_datasink(
         MultiNTriplesGzDatasink(out_dir, triple_names, lineage=lineage)
     )
-    if not is_complete(ann_dir, lineage):
-        write_ntriples(annotated, ann_dir, lineage=lineage)
+    shutil.rmtree(stage_dir, ignore_errors=True)
     state.stats.write(os.path.join(out_dir, "stats.tsv"))
     return {"combined": combined, "annotated-facts": annotated}

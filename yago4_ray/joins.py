@@ -137,6 +137,7 @@ def partitioned_group_apply(
     fn,
     num_parts: int = 32,
     combine=None,
+    keep_part_column: bool = False,
 ) -> Dataset:
     """Grouped computation WITHOUT per-group Python overhead:
     hash-partition rows into `num_parts` coarse parts (every row of a
@@ -164,6 +165,8 @@ def partitioned_group_apply(
         return batch
 
     def apply_part(part: pd.DataFrame) -> pd.DataFrame:
+        if keep_part_column:
+            return fn(part)
         return fn(part.drop(columns=["__part"]))
 
     return (
@@ -173,16 +176,24 @@ def partitioned_group_apply(
     )
 
 
-def distinct_rows(ds: Dataset, columns: list[str], num_parts: int = 32) -> Dataset:
+def distinct_rows(
+    ds: Dataset,
+    columns: list[str],
+    num_parts: int = 32,
+    keep_part_column: bool = False,
+) -> Dataset:
     """Exact distinct on `columns` (G6; SURVEY §2.7): per-batch
     combiner pre-dedup, then one partitioned dedup. Keyed on ALL
-    columns, so hub values in one column can't skew partitions."""
+    columns, so hub values in one column can't skew partitions.
+    `keep_part_column` exposes the deterministic partition id (`__part`)
+    to downstream sinks for stable part-file naming."""
     return partitioned_group_apply(
         ds,
         columns,
         lambda pdf: pdf.drop_duplicates(columns),
         num_parts=num_parts,
         combine=lambda pdf: pdf.drop_duplicates(columns),
+        keep_part_column=keep_part_column,
     )
 
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data import Dataset
-from ray.data.block import Block, BlockAccessor
+from ray.data.block import BlockAccessor
 from ray.data.datasource import Datasink
 
 from . import terms as T
@@ -233,41 +233,54 @@ class MultiNTriplesGzDatasink(Datasink):
 
     def write(self, blocks, ctx):
         counts: dict[str, int] = {}
-        writers: dict[str, object] = {}
-        tmp_paths: dict[str, tuple[str, str]] = {}
+        writers: dict[tuple, object] = {}
+        tmp_paths: dict[tuple, tuple[str, str]] = {}
         try:
             for block in blocks:
                 table = BlockAccessor.for_block(block).to_arrow()
                 if table.num_rows == 0 or "file" not in table.column_names:
                     continue
-                df = (
-                    table.select(["file", "subject", "predicate", "object"])
-                    .to_pandas()
-                    .sort_values(["file", "subject", "predicate", "object"])
+                cols = ["file", "subject", "predicate", "object"]
+                # deterministic part naming: rows carry the dedup
+                # shuffle's partition id (__part); a part value lives in
+                # exactly one group, so files named by it are stable
+                # across reruns regardless of task scheduling
+                has_part = "__part" in table.column_names
+                if has_part:
+                    cols = cols + ["__part"]
+                df = table.select(cols).to_pandas().sort_values(
+                    ["file", "subject", "predicate", "object"]
                 )
-                for tag, group in df.groupby("file", sort=False):
+                group_cols = ["file", "__part"] if has_part else ["file"]
+                for key, group in df.groupby(group_cols, sort=False):
+                    tag = key[0] if isinstance(key, tuple) else key
+                    part_id = (
+                        int(key[1]) if isinstance(key, tuple) and has_part
+                        else ctx.task_idx
+                    )
                     name = self.file_names.get(tag)
                     if name is None:
                         continue
-                    if tag not in writers:
+                    wkey = (tag, part_id)
+                    if wkey not in writers:
                         out = os.path.join(
-                            self.base_dir, name, f"part-{ctx.task_idx:05d}.nt.gz"
+                            self.base_dir, name, f"part-{part_id:05d}.nt.gz"
                         )
                         tmp = out + ".tmp"
-                        tmp_paths[tag] = (tmp, out)
-                        writers[tag] = gzip.open(
+                        tmp_paths[wkey] = (tmp, out)
+                        writers[wkey] = gzip.open(
                             tmp, "wt", encoding="utf-8", compresslevel=1
                         )
-                    f = writers[tag]
+                    f = writers[wkey]
                     for s, p, o in zip(
                         group["subject"], group["predicate"], group["object"]
                     ):
                         f.write(T.format_triple(s, p, o) + "\n")
                     counts[tag] = counts.get(tag, 0) + len(group)
         finally:
-            for tag, f in writers.items():
+            for _, f in writers.items():
                 f.close()
-        for tag, (tmp, out) in tmp_paths.items():
+        for _, (tmp, out) in tmp_paths.items():
             os.replace(tmp, out)
         return counts
 
@@ -300,7 +313,12 @@ def write_ntriples(
     §2.6), atomic part files, optional checkpoint manifest."""
     if sort:
         cols = ds.schema().names
-        keys = [c for c in ("subject", "predicate", "object") if c in cols]
+        keys = [
+            c
+            for c in ("subject", "predicate", "object",
+                      "annotation_predicate", "annotation_object")
+            if c in cols
+        ]
         ds = ds.sort(keys)
     ds.write_datasink(NTriplesGzDatasink(path, lineage=lineage))
 

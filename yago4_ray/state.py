@@ -25,7 +25,6 @@ both representations are produced here.
 
 from __future__ import annotations
 
-import os
 import sys
 import types
 from collections import defaultdict
@@ -33,7 +32,6 @@ from dataclasses import dataclass, field
 from urllib.parse import unquote
 
 import pandas as pd
-import pyarrow as pa
 import ray
 from ray.data import Dataset
 
