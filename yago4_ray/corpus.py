@@ -644,7 +644,7 @@ def materialize_corpus(
 ) -> str:
     """Write (or reuse) the corpus parquet files; returns the directory.
     Layout: one parquet file per table + a _COMPLETE marker for atomicity."""
-    out = os.path.join(cache_root, f"corpus_n{n_entities}_s{seed}_v2")
+    out = os.path.join(cache_root, f"corpus_n{n_entities}_s{seed}_v3")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -653,9 +653,12 @@ def materialize_corpus(
     os.makedirs(tmp, exist_ok=True)
     # big tables are written as a *directory* of part files (named
     # <table>.parquet so read_parquet call sites are unchanged): one
-    # 300 MB file caps Ray's read parallelism at a handful of blocks
-    chunk_rows = 100_000
+    # 300 MB file caps Ray's read parallelism at a handful of blocks.
+    # documents chunk smaller — each part feeds one extraction task, so
+    # the actor pool needs >= pool-size parts to saturate
+    chunk_sizes = {"documents": 20_000}
     for name, table in tables.items():
+        chunk_rows = chunk_sizes.get(name, 100_000)
         target = os.path.join(tmp, f"{name}.parquet")
         if table.num_rows > chunk_rows:
             os.makedirs(target, exist_ok=True)

@@ -314,6 +314,22 @@ def q12_language_share(sf_dir: str):
     )
 
 
+def q13_session_windows(sf_dir: str):
+    """Gap-based session windows over the events log (30-minute gap)."""
+    from .dataops.windows import session_window
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_window(ds, "user_id", "ts", gap_s=1800)
+
+
+def q14_daily_windows(sf_dir: str):
+    """Tumbling daily windows per user."""
+    from .dataops.windows import tumbling_window
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return tumbling_window(ds, "user_id", "ts", "value", window_s=86400)
+
+
 SQL_ORACLES = {
     "q1_lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
@@ -398,6 +414,36 @@ SQL_ORACLES = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
+    """,
+    "q13_session_windows": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        ), marked AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN LAG(ts_us) OVER w IS NULL
+                          OR ts_us - LAG(ts_us) OVER w > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ), numbered AS (
+            SELECT user_id, ts_us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                     ROWS UNBOUNDED PRECEDING) AS session
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session
+    """,
+    "q14_daily_windows": """
+        SELECT user_id,
+               CAST(epoch_us(ts) // (86400 * CAST(1000000 AS BIGINT)) AS BIGINT) * 86400
+                   AS window_start_s,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events GROUP BY user_id, window_start_s
     """,
 }
 
@@ -598,6 +644,8 @@ QUERIES = {
     "q10_embedding_stats": q10_embedding_stats,
     "q11_supplier_region": q11_supplier_region,
     "q12_language_share": q12_language_share,
+    "q13_session_windows": q13_session_windows,
+    "q14_daily_windows": q14_daily_windows,
     "kg_facts": kg_facts,
     "kg_annotated_facts": kg_annotated_facts,
     "kg_labels": kg_labels,
