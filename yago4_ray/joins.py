@@ -214,12 +214,82 @@ def group_filter_by_count(
     return partitioned_group_apply(ds, key_columns, keep_small, num_parts)
 
 
-def top_hot_keys(ds: Dataset, column: str, threshold: int) -> list[str]:
+def top_hot_keys(
+    ds: Dataset, column: str, threshold: int, num_parts: int = 32
+) -> list[str]:
     """Pre-pass hot-key detector: values of `column` whose row count
-    exceeds `threshold` (drives salting decisions)."""
-    counts = ds.groupby(column).count()
-    hot = counts.filter(lambda row: row["count()"] > threshold)
-    return [row[column] for row in hot.take_all()]
+    exceeds `threshold` (drives salting decisions). Combiner partials
+    per batch, partitioned reduce — the detection itself can't skew."""
+    partials = ds.map_batches(
+        lambda b: b.groupby(column, as_index=False).agg(n=(column, "size")),
+        batch_format="pandas",
+    )
+    counts = partitioned_group_apply(
+        partials,
+        [column],
+        lambda pdf: pdf.groupby(column, as_index=False).agg(n=("n", "sum")),
+        num_parts=num_parts,
+    ).to_pandas()
+    return sorted(counts.loc[counts["n"] > threshold, column])
+
+
+def salted_aggregate(
+    ds: Dataset,
+    key: str,
+    agg_spec: dict[str, tuple[str, str]],
+    hot_keys: list[str] | None = None,
+    hot_threshold: int | None = None,
+    salt: int = 16,
+    num_parts: int = 32,
+) -> Dataset:
+    """Two-phase aggregate with explicit hot-key salting (SURVEY §4 /
+    north_rule: hub entities like Q5 make a naive key-partitioned
+    aggregate one-reducer-bound).
+
+    Phase 1 groups on (key, salt) where salt spreads ONLY the hot keys
+    (detected by a pre-pass when `hot_keys` is None) across `salt`
+    sub-buckets; phase 2 merges the per-salt partials — tiny, because
+    each hot key now contributes at most `salt` rows. `agg_spec` maps
+    output column → (input column, 'sum'|'min'|'max'|'size') — the
+    decomposable aggregates salting is valid for."""
+    import numpy as np
+
+    if hot_keys is None:
+        hot_keys = top_hot_keys(ds, key, hot_threshold or 100_000)
+    hot_ref = ray.put(set(hot_keys))
+
+    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        hot = get_broadcast(hot_ref)
+        batch = batch.copy()
+        is_hot = batch[key].isin(hot).to_numpy()
+        salts = np.arange(len(batch)) % salt  # round-robin within batch
+        batch["__salt"] = np.where(is_hot, salts, 0).astype("int64")
+        return batch
+
+    spec1 = {
+        out: (col, "size" if how == "size" else how)
+        for out, (col, how) in agg_spec.items()
+    }
+    merge_spec = {
+        out: (out, "sum" if how == "size" else how)
+        for out, (_, how) in agg_spec.items()
+    }
+
+    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby([key, "__salt"], as_index=False).agg(**spec1)
+
+    def phase2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(key, as_index=False).agg(**merge_spec)
+
+    # shuffle 1 keyed on (key, salt): a hot key spreads over `salt`
+    # partitions; shuffle 2 merges its ≤`salt` partial rows per key
+    partials = partitioned_group_apply(
+        ds.map_batches(add_salt, batch_format="pandas"),
+        [key, "__salt"],
+        phase1,
+        num_parts=num_parts,
+    ).drop_columns(["__salt"])
+    return partitioned_group_apply(partials, [key], phase2, num_parts=num_parts)
 
 
 def to_pandas(obj) -> pd.DataFrame:
