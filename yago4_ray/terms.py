@@ -429,6 +429,14 @@ def _ipchar_ok(c: str) -> bool:
     )
 
 
+# strings whose encode_iri_path output is themselves with spaces -> '_'
+# (the overwhelmingly common case) -- used by vectorized fast paths
+IPCHAR_OR_SPACE_RE = re.compile(
+    "^[A-Za-z0-9\-._~:@!$&'()*+,;= "
+    "\u00A0-\uD7FF\uF900-\uFDCF\uFDF0-\uFFEF\U00010000-\U000EFFFD]*$"
+)
+
+
 def encode_iri_path(path: str) -> str:
     """Percent-encode a string into an IRI path segment: spaces become '_',
     RFC-3987 ipchar characters pass through, everything else is
