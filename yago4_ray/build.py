@@ -1043,13 +1043,16 @@ def generate_yago(
 
     os.makedirs(out_dir, exist_ok=True)
     lineage = output_lineage(statements_root, state)
-    triple_names = {k: v for k, v in OUTPUT_FILE_NAMES.items() if k != "annotated-facts"}
     ann_dir = os.path.join(out_dir, OUTPUT_FILE_NAMES["annotated-facts"])
-    all_done = all(
-        is_complete(os.path.join(out_dir, name), lineage)
-        for name in triple_names.values()
-    ) and is_complete(ann_dir, lineage)
-    if all_done:
+    # partial resume: only outputs without a valid manifest are rewritten
+    # (the sink ignores rows of files not in its name map)
+    triple_names = {
+        k: v
+        for k, v in OUTPUT_FILE_NAMES.items()
+        if k != "annotated-facts"
+        and not is_complete(os.path.join(out_dir, v), lineage)
+    }
+    if not triple_names and is_complete(ann_dir, lineage):
         return {}  # resume: everything already written from this input
 
     # Staged materialization: the 9 raw output pipelines run as
