@@ -71,3 +71,24 @@ def test_sorted_deterministic_output(ray_session, tmp_path):
     a, b = lines(out1), lines(out2)
     assert a == b
     assert a == sorted(a)  # subject-sorted
+
+
+def test_rewrite_clears_stale_parts(ray_session, tmp_path):
+    """A rewrite that produces fewer parts than a previous run must not
+    leave stale part files behind (they would corrupt the output)."""
+    import glob
+
+    out = str(tmp_path / "stale")
+    write_ntriples(_triples_ds(), out, lineage="L1")
+    # plant a fake stale part from an imaginary earlier, wider run
+    stale = os.path.join(out, "part-99999.nt.gz")
+    import gzip
+
+    with gzip.open(stale, "wt") as f:
+        f.write("<http://stale> <http://stale> <http://stale> .\n")
+    write_ntriples(_triples_ds(), out, lineage="L2")
+    parts = sorted(os.path.basename(p) for p in glob.glob(out + "/*.nt.gz"))
+    assert "part-99999.nt.gz" not in parts
+    manifest = cp.read_manifest(out)
+    assert manifest["lineage"] == "L2"
+    assert set(manifest["parts"]) == set(parts)

@@ -172,6 +172,7 @@ class NTriplesGzDatasink(Datasink):
 
         self._start = time.perf_counter()
         os.makedirs(self.path, exist_ok=True)
+        _clear_stale_parts(self.path)
 
     def on_write_complete(self, write_result):
         if self.lineage is None:
@@ -210,6 +211,15 @@ class NTriplesGzDatasink(Datasink):
         return "ok"
 
 
+def _clear_stale_parts(path: str) -> None:
+    """Remove leftover part files before a rewrite: a rerun with
+    different inputs may produce FEWER parts than a previous run left
+    behind, and stale parts would be picked up by the fresh manifest."""
+    for f in os.listdir(path):
+        if f.endswith(".nt.gz") or f.endswith(".nt.gz.tmp") or f.startswith("_MANIFEST"):
+            os.remove(os.path.join(path, f))
+
+
 class MultiNTriplesGzDatasink(Datasink):
     """Partitioned N-Triples writer: rows carry a `file` column naming
     their logical output; each write task appends its rows, grouped by
@@ -229,7 +239,9 @@ class MultiNTriplesGzDatasink(Datasink):
 
         self._start = time.perf_counter()
         for name in self.file_names.values():
-            os.makedirs(os.path.join(self.base_dir, name), exist_ok=True)
+            target = os.path.join(self.base_dir, name)
+            os.makedirs(target, exist_ok=True)
+            _clear_stale_parts(target)
 
     def write(self, blocks, ctx):
         counts: dict[str, int] = {}
