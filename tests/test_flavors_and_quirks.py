@@ -97,3 +97,34 @@ def test_maxcount_group_dropped(build_outputs, oracle_outputs):
     # subjects appear at most once (maxCount 1 enforced by dropping)
     subjects = [s for s, _ in got_urls]
     assert len(subjects) == len(set(subjects))
+
+
+def test_user_shape_extension(statements_root):
+    """The extension surface is DATA (SURVEY §2.10): a user-supplied
+    Turtle doc adding a property shape to an existing NodeShape flows
+    straight into the facts pipeline."""
+    from yago4_ray.build import build_facts
+    from yago4_ray.state import build_state
+
+    extra = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix schema: <http://schema.org/> .
+    @prefix wdt: <http://www.wikidata.org/prop/direct/> .
+    @prefix ys: <http://yago-knowledge.org/schema#> .
+    schema:Person sh:property [
+        sh:path schema:knows ;
+        sh:node schema:Person ;
+        ys:fromProperty wdt:P26 ;
+    ] .
+    """
+    schema = Schema.open(extra_turtle_docs=[extra])
+    state = build_state(statements_root, schema=schema)
+    facts, _ = build_facts(statements_root, state)
+    df = facts.to_pandas()
+    knows = df[df["predicate"] == "<http://schema.org/knows>"]
+    spouse = df[df["predicate"] == "<http://schema.org/spouse>"]
+    # same source data (P26), same filters → identical pairs
+    assert len(knows) > 0
+    assert set(zip(knows["subject"], knows["object"])) == set(
+        zip(spouse["subject"], spouse["object"])
+    )
