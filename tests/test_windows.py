@@ -49,3 +49,25 @@ def test_sliding_window(ray_session):
     # [+120,+240)={120}
     u1 = out[out["user_id"] == 1].sort_values("window_start_s")
     assert list(u1["n_events"])[:4] == [1, 2, 2, 1]
+
+
+def test_asof_join(ray_session):
+    from yago4_ray.dataops.temporal import asof_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "t": [10, 25, 5, 7],
+        "payload": ["a", "b", "c", "d"],
+    }))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2],
+        "t": [8, 20, 9],
+        "tag": ["r1", "r2", "r3"],
+    }))
+    out = asof_join(
+        left, right, by="k", on="t",
+        left_columns=["payload"], right_columns=["tag"],
+    ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    # k=1 t=10 → r1 (t=8); k=1 t=25 → r2 (t=20); k=2 t=5 → none; k=3 → none
+    assert list(out["payload"]) == ["a", "b", "c", "d"]
+    assert list(out["tag_right"].fillna("-")) == ["r1", "r2", "-", "-"]

@@ -330,6 +330,42 @@ def q14_daily_windows(sf_dir: str):
     return tumbling_window(ds, "user_id", "ts", "value", window_s=86400)
 
 
+def q15_asof_purchase_click(sf_dir: str):
+    """Each purchase joined to the user's most recent prior click
+    (backward as-of join; -1 when the user never clicked before)."""
+    from .dataops.temporal import asof_join
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    purchases = events.map_batches(
+        lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]],
+        batch_format="pandas",
+    )
+    clicks = events.map_batches(
+        lambda df: df[df["event_type"] == "click"][["user_id", "ts"]],
+        batch_format="pandas",
+    )
+    joined = asof_join(
+        purchases, clicks, by="user_id", on="ts",
+        left_columns=["value"], right_columns=[],
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        click = df["ts_right"].astype("datetime64[us]")
+        click_us = click.astype("int64")
+        click_us[click.isna()] = -1  # NaT sentinel → -1 (matches COALESCE)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "purchase_ts_us": ts_us,
+                "value_cents": (df["value"] * _CENTS).round().astype("int64"),
+                "last_click_ts_us": click_us,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 SQL_ORACLES = {
     "q1_lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
@@ -444,6 +480,15 @@ SQL_ORACLES = {
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                    AS sum_value_cents
         FROM events GROUP BY user_id, window_start_s
+    """,
+    "q15_asof_purchase_click": """
+        SELECT p.user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               CAST(ROUND(p.value * 100) AS BIGINT) AS value_cents,
+               COALESCE(epoch_us(c.ts), -1) AS last_click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 }
 
@@ -646,6 +691,7 @@ QUERIES = {
     "q12_language_share": q12_language_share,
     "q13_session_windows": q13_session_windows,
     "q14_daily_windows": q14_daily_windows,
+    "q15_asof_purchase_click": q15_asof_purchase_click,
     "kg_facts": kg_facts,
     "kg_annotated_facts": kg_annotated_facts,
     "kg_labels": kg_labels,
