@@ -45,7 +45,9 @@ def test_schema_open_and_shapes():
     shapes = {s.id: s for s in schema.node_shapes()}
     person = shapes["<http://schema.org/Person>"]
     assert person.target_class == "<http://schema.org/Person>"
-    assert person.from_classes == (T.wd(5),)
+    # the vendored full shapes map schema:Person from wd:Q215627 (person);
+    # humans (wd:Q5) reach it through the P279 closure (shapes.ttl:1447)
+    assert person.from_classes == (T.wd(215627),)
 
     by_path = {p.path: p for p in person.properties}
     bd = by_path["<http://schema.org/birthDate>"]
@@ -77,6 +79,27 @@ def test_schema_open_and_shapes():
         T.RDFS_LABEL
     ]
     assert label.is_unique_lang
+
+
+def test_full_rule_set_counts():
+    """The packaged rule set is the reference's full public data
+    (schema.rs:304-309: schema.ttl + shapes.ttl + bioschemas.ttl +
+    shapes-bio.ttl); the parsed shape inventory must match it."""
+    schema = Schema.open()
+    node_shapes = schema.node_shapes()
+    prop_shapes = schema.property_shapes()
+    # 262 node shapes in shapes.ttl + 6 in shapes-bio.ttl
+    assert len(node_shapes) == 268
+    assert len(prop_shapes) == 218
+    assert len(schema.annotation_property_shapes()) == 2
+    # 238 ys:fromClass in shapes.ttl + 5 in shapes-bio.ttl
+    assert sum(len(n.from_classes) for n in node_shapes) == 243
+    assert sum(len(p.from_properties) for p in prop_shapes) == 230
+    # every sh:node target resolves to a node shape in the set
+    ids = {n.id for n in node_shapes}
+    for p in prop_shapes:
+        for node in p.nodes:
+            assert node in ids, node
 
 
 def test_annotation_shapes():

@@ -45,41 +45,56 @@ COMMONS = "http://commons.wikimedia.org/wiki/Special:FilePath/"
 # Fixed micro-taxonomy (QIDs are the public Wikidata ones)
 # ---------------------------------------------------------------------------
 
-# child → parent (wdt:P279 edges)
+# child → parent (wdt:P279 edges) — topology mirrors real Wikidata so the
+# vendored full shapes.ttl (ys:fromClass wd:Q215627 for schema:Person,
+# wd:Q17334923 for schema:Place, wd:Q1656682 for schema:Event, …) maps
+# every entity kind through its real superclass chain.
 P279_EDGES = [
-    ("Q5", "Q35120"),          # human ⊂ entity(Thing)
-    ("Q618123", "Q35120"),     # geographical object ⊂ entity
+    ("Q215627", "Q35120"),     # person ⊂ entity(Thing)
+    ("Q5", "Q215627"),         # human ⊂ person (schema:Person fromClass)
+    ("Q17334923", "Q35120"),   # location ⊂ entity (schema:Place fromClass)
+    ("Q618123", "Q17334923"),  # geographical object ⊂ location
     ("Q515", "Q618123"),       # city ⊂ geographical object
     ("Q6256", "Q618123"),      # country ⊂ geographical object
     ("Q1549591", "Q515"),      # big city ⊂ city
     ("Q43229", "Q35120"),      # organization ⊂ entity
-    ("Q3918", "Q43229"),       # university ⊂ organization
+    ("Q5341295", "Q43229"),    # educational organization ⊂ organization
+    ("Q38723", "Q5341295"),    # higher-ed institution ⊂ edu org
+    ("Q3918", "Q38723"),       # university ⊂ higher-ed institution
     ("Q17537576", "Q35120"),   # creative work ⊂ entity
     ("Q11424", "Q17537576"),   # film ⊂ creative work
     ("Q7889", "Q17537576"),    # video game ⊂ creative work
-    ("Q1190554", "Q35120"),    # occurrence(Event) ⊂ entity
+    ("Q571", "Q17537576"),     # book ⊂ creative work
+    ("Q1656682", "Q35120"),    # event ⊂ entity (schema:Event fromClass)
+    ("Q1190554", "Q1656682"),  # occurrence ⊂ event
     ("Q34770", "Q35120"),      # language ⊂ entity
     ("Q16521", "Q35120"),      # taxon ⊂ entity
     ("Q901", "Q5"),            # scientist ⊂ human        (no enwiki)
     ("Q82955", "Q5"),          # politician ⊂ human       (<10 instances)
     ("Q22808320", "Q4167410"),  # ⊂ disambiguation page (bad class)
-    ("Q215627", "Q5"),         # person-concept ⊂ human AND
-    ("Q215627", "Q17537576"),  # … ⊂ creative work  → disjoint-class victim
+    ("Q15632617", "Q5"),       # fictional human ⊂ human AND
+    ("Q15632617", "Q17537576"),  # … ⊂ creative work  → disjoint-class victim
 ]
 
 # class qid → (english label, has enwiki sitelink)
 CLASS_INFO = {
     "Q35120": ("entity", True),
+    "Q215627": ("person", True),
     "Q5": ("human", True),
+    "Q17334923": ("location", True),
     "Q618123": ("geographical object", True),
     "Q515": ("city", True),
     "Q6256": ("country", True),
     "Q1549591": ("big city", True),
     "Q43229": ("organization", True),
+    "Q5341295": ("educational organization", True),
+    "Q38723": ("higher education institution", True),
     "Q3918": ("university", True),
     "Q17537576": ("creative work", True),
     "Q11424": ("film", True),
     "Q7889": ("video game", True),
+    "Q571": ("book", True),
+    "Q1656682": ("event", True),
     "Q1190554": ("occurrence", True),
     "Q34770": ("language", True),
     "Q16521": ("taxon", True),
@@ -87,7 +102,7 @@ CLASS_INFO = {
     "Q82955": ("politician", True),
     "Q4167410": ("Wikimedia disambiguation page", False),
     "Q22808320": ("Wikimedia human name disambiguation page", False),
-    "Q215627": ("person", True),
+    "Q15632617": ("fictional human", True),
 }
 
 # auxiliary items: units / calendar / globes / gender
@@ -286,33 +301,36 @@ class CorpusGenerator:
         # class share table; 'person' is the hot hub class (skew by design)
         kinds = rng.choice(
             ["person", "scientist", "politician", "city", "bigcity", "country",
-             "org", "university", "work", "movie", "game", "event", "taxon",
-             "language", "bad", "disjoint_class", "disjoint_instance", "plain"],
+             "org", "university", "work", "movie", "game", "book", "event",
+             "taxon", "language", "bad", "disjoint_class",
+             "disjoint_instance", "plain"],
             size=n,
             p=[0.29, 0.06, 0.006, 0.08, 0.024, 0.01,
-               0.06, 0.03, 0.10, 0.04, 0.03, 0.05, 0.05,
+               0.06, 0.03, 0.07, 0.04, 0.03, 0.03, 0.05, 0.05,
                0.02, 0.04, 0.016, 0.014, 0.08],
         )
         # pin the first few to guarantee coverage at any n
         pinned = ["person", "person", "city", "org", "work", "event", "taxon",
                   "scientist", "politician", "politician", "politician",
                   "bad", "disjoint_class", "disjoint_instance", "language",
-                  "country", "bigcity", "university", "movie", "game"]
+                  "country", "bigcity", "university", "movie", "game", "book",
+                  "book"]
         kinds[: len(pinned)] = pinned
 
         kind_classes = {
             "person": ["Q5"], "scientist": ["Q901"], "politician": ["Q82955"],
             "city": ["Q515"], "bigcity": ["Q1549591"], "country": ["Q6256"],
             "org": ["Q43229"], "university": ["Q3918"], "work": ["Q17537576"],
-            "movie": ["Q11424"], "game": ["Q7889"], "event": ["Q1190554"],
+            "movie": ["Q11424"], "game": ["Q7889"], "book": ["Q571"],
+            "event": ["Q1190554"],
             "taxon": ["Q16521"], "language": ["Q34770"], "bad": ["Q22808320"],
-            "disjoint_class": ["Q215627"], "disjoint_instance": ["Q5", "Q618123"],
+            "disjoint_class": ["Q15632617"], "disjoint_instance": ["Q5", "Q618123"],
             "plain": [],
         }
         person_like = {"person", "scientist", "politician", "disjoint_instance"}
         place_like = {"city", "bigcity", "country"}
         org_like = {"org", "university"}
-        work_like = {"work", "movie", "game"}
+        work_like = {"work", "movie", "game", "book"}
 
         entities: list[dict] = []
         for i in range(n):
@@ -512,7 +530,12 @@ class CorpusGenerator:
                 # numberOfEmployees: integer quantity (unit Q199)
                 if self._chance(0.7):
                     emp = int(rng.integers(1, 200000))
-                    node = self._quantity_value_node(qid, "P1128", f"+{emp}", "Q199")
+                    # full quantity node (bounds + unit Q199 "1"): the real
+                    # Organization shape maps numberOfEmployees via
+                    # sh:node schema:QuantitativeValue (shapes.ttl:1333-1337)
+                    node = self._quantity_value_node(
+                        qid, "P1128", f"+{emp}", "Q199",
+                        bounds=(str(emp - 1), f"+{emp + 1}"))
                     self._fact(qid, "P1128", None, value_node=node,
                                truthy_object=T.decimal_literal(f"+{emp}"),
                                doc_id=span_doc)
@@ -531,11 +554,15 @@ class CorpusGenerator:
                         fact_span("P1278", lei)
 
             elif kind in work_like:
-                # isbn (pattern; ~30% violate)
-                if self._chance(0.5):
+                # isbn: only books carry it (schema:Book shape,
+                # shapes.ttl:366-379); ISBN-10 form passes the shape's
+                # pattern, ~30% violate
+                if kind == "book" and self._chance(0.9):
                     ok = rng.random() < 0.7
                     isbn = (
-                        "978" + "".join(str(rng.integers(10)) for _ in range(10))
+                        "".join(str(rng.integers(10)) for _ in range(9))
+                        + ["0", "1", "2", "3", "4", "5", "6", "7", "8", "9",
+                           "X"][int(rng.integers(11))]
                         if ok
                         else f"isbn-{qid}"
                     )
@@ -644,7 +671,7 @@ def materialize_corpus(
 ) -> str:
     """Write (or reuse) the corpus parquet files; returns the directory.
     Layout: one parquet file per table + a _COMPLETE marker for atomicity."""
-    out = os.path.join(cache_root, f"corpus_n{n_entities}_s{seed}_v3")
+    out = os.path.join(cache_root, f"corpus_n{n_entities}_s{seed}_v4")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out

@@ -30,12 +30,22 @@ from .schema import Schema
 # set on the driver (wdt: truthy objects follow the Wikidata dump
 # conventions: times are xsd:dateTime, quantities xsd:decimal).
 def pid_value_kinds(schema: Schema) -> dict[str, str]:
+    # node shapes that are Wikidata *value* nodes, not entities: their
+    # truthy (wdt:) objects are literals in the dump conventions
+    value_node_kinds = {
+        T.SCHEMA_QUANTITATIVE_VALUE: "decimal",
+        T.SCHEMA_GEO_COORDINATES: "string",
+    }
     kinds: dict[str, str] = {}
     for shape in schema.property_shapes():
         pids = [p for p in (T.pid_of(fp) for fp in shape.from_properties) if p]
         dts = set(shape.datatypes)
         if shape.nodes and not dts:
-            kind = "entity"
+            targets = {schema.node_shape(n).target_class for n in shape.nodes}
+            if len(targets) == 1 and next(iter(targets)) in value_node_kinds:
+                kind = value_node_kinds[next(iter(targets))]
+            else:
+                kind = "entity"
         elif T.XSD_DATE_TIME in dts:
             kind = "datetime"
         elif T.XSD_ANY_URI in dts:

@@ -516,7 +516,11 @@ def kg_context(sf_dir: str):
     from .state import build_state
 
     corpus_dir = materialize_corpus(n_entities=n, seed=42)
-    store = os.path.join("/tmp/yago4_ray_cache", f"store_n{n}_s42")
+    # store cache is keyed off the corpus dir name, which carries the
+    # corpus format version — a corpus bump can never leave a stale store
+    store = os.path.join(
+        "/tmp/yago4_ray_cache", f"store_{os.path.basename(corpus_dir)}"
+    )
     marker = os.path.join(store, "_COMPLETE")
     if not os.path.exists(marker):
         ds = ray.data.read_parquet(os.path.join(corpus_dir, "statements.parquet"))

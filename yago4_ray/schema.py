@@ -119,9 +119,13 @@ class Schema:
 
     @classmethod
     def open(cls, extra_turtle_docs: list[str] | None = None) -> "Schema":
-        """Load the packaged rule set (+ optional user shape docs)."""
+        """Load the packaged rule set (+ optional user shape docs).
+
+        The packaged data is the reference's full public rule set
+        (schema.org ontology + YAGO SHACL shapes + bioschemas,
+        schema.rs:304-309): 268 node shapes / 218 property shapes."""
         docs = []
-        for name in ("schema.ttl", "shapes.ttl"):
+        for name in ("schema.ttl", "shapes.ttl", "bioschemas.ttl", "shapes-bio.ttl"):
             docs.append(
                 importlib.resources.files("yago4_ray.data").joinpath(name).read_text()
             )

@@ -26,6 +26,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
     | (?P<iri><[^>]*>)
+    | (?P<longstring>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtype>\^\^)
@@ -163,8 +164,12 @@ class _Parser:
             return tok.group("iri")
         if tok.group("local") is not None and tok.lastgroup in ("local", "pname"):
             return self._resolve_pname(tok)
-        if tok.lastgroup == "string":
-            value = tok.group("string")[1:-1]
+        if tok.lastgroup in ("string", "longstring"):
+            value = (
+                tok.group("longstring")[3:-3]
+                if tok.lastgroup == "longstring"
+                else tok.group("string")[1:-1]
+            )
             nxt = self.peek()
             if nxt is not None and nxt.lastgroup == "langtag":
                 self.next()
