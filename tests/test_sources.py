@@ -86,7 +86,9 @@ def test_cli_synth_and_partition(ray_session, tmp_path, corpus_dir):
     from yago4_ray.__main__ import main
 
     main(["synth", "-n", "150", "-s", "7"])
-    out = "/tmp/yago4_ray_cache/corpus_n150_s7_v3"
+    from yago4_ray.corpus import materialize_corpus
+
+    out = materialize_corpus(150, 7)  # cache hit on what the CLI built
     assert os.path.exists(os.path.join(out, "statements.parquet"))
     store = str(tmp_path / "cli_store")
     main([

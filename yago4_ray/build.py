@@ -9,8 +9,10 @@ Ray Data pipelines over the predicate-partitioned statement store:
 - The statement-subject × statement-object join is a hash-partitioned
   `Dataset.join` keyed on statement id (J1).
 - Broadcast state (URI mapping, instance sets, clean-value maps,
-  best-rank ids) is shipped once per worker process; at 10^12-doc scale
-  these flip to `hash_join`s against the state Datasets (see state.py).
+  best-rank ids) is shipped once per worker process; with
+  `state.distributed=True` (auto above ~50M mapped items, or
+  YAGO4_RAY_DISTRIBUTED_STATE=1) every such call site flips to
+  `hash_join`s against the state Datasets (build_dist module).
 - maxCount drops the whole (shape, subject) group — never truncates
   (A2, plan.rs:1141-1158).
 
@@ -142,13 +144,33 @@ def derive_config(shape: PropertyShape, schema: Schema, cfg_id: str) -> PropConf
 # Shared broadcastable fact-pipeline state
 # ---------------------------------------------------------------------------
 
+def build_clean_values_ds(root: str, state: BuildState) -> Dataset:
+    """(family, value_node, object, extras) Dataset (ST4) from ONE scan +
+    ONE partitioned groupby (reference: five point-lookup chains in five
+    threads, plan.rs:908-1032). In distributed mode the only broadcast
+    is the unit→YAGO mapping restricted to units that actually occur —
+    Wikidata has ~10k units, class-graph scale, never instance scale."""
+    if state.distributed:
+        units = (
+            scan_predicate(root, T.WIKIBASE_QUANTITY_UNIT)
+            .map_batches(
+                lambda b: b[["object"]].drop_duplicates(), batch_format="pandas"
+            )
+            .to_pandas()["object"]
+            .unique()
+        )
+        unit_map = {
+            u: v for u in units if (v := state.uri_mapping.get(u)) is not None
+        }
+        uri_ref = ray.put(unit_map)
+    else:
+        uri_ref = state.packed_ref("uri_mapping")
+    return C.build_value_maps(root, scan_predicate, uri_ref)
+
+
 def build_clean_maps(root: str, state: BuildState, stats: Stats) -> dict:
-    """The five cleaned-value maps (ST4) from ONE scan + ONE partitioned
-    groupby (reference: five point-lookup chains in five threads,
-    plan.rs:908-1032)."""
-    df = C.build_value_maps(
-        root, scan_predicate, state.packed_ref("uri_mapping")
-    ).to_pandas()
+    """Driver-dict form of build_clean_values_ds for the broadcast path."""
+    df = build_clean_values_ds(root, state).to_pandas()
     maps: dict[str, dict[str, tuple[str, str]]] = {
         k: {} for k in ("time", "coordinates", "duration", "integer", "quantity")
     }
@@ -162,9 +184,9 @@ def build_clean_maps(root: str, state: BuildState, stats: Stats) -> dict:
 
 
 def best_rank_statements(root: str) -> set[str]:
-    """Statement ids typed wikibase:BestRank (M16/J6). Broadcast set at
-    test scale; at 100 TB this becomes a semi-join against the rdf:type
-    partition (same call site, joins.semi_join vs joins.hash_join)."""
+    """Statement ids typed wikibase:BestRank (M16/J6) — broadcast-path
+    form. The distributed path joins against build_dist.best_rank_ds
+    instead (state.distributed=True)."""
     ds = scan_predicate(root, T.RDF_TYPE)
     df = ds.map_batches(
         lambda b: b[b["object"] == T.WIKIBASE_BEST_RANK][["subject"]],
@@ -270,14 +292,15 @@ _CLEAN_FAMILY = {
 def _object_side(
     root: str,
     configs: list[PropConfig],
-    refs: dict,
+    refs: dict | None,
     simple_prefix: str,
     complex_prefix: str,
 ) -> Dataset:
     """(cfg, statement, object, extras): ps:/psv: scan → per-mode value
     dispatch → pattern filter (plan.rs:1209-1399). Vectorized per
     (predicate, cfg) group; scalar converters only run on candidate
-    rows of their own mode."""
+    rows of their own mode. refs=None restricts to stateless modes
+    (anyuri/image/datatype — the build_dist stateless leg)."""
     pred_to_cfgs: dict[str, list[PropConfig]] = {}
     for cfg in configs:
         if cfg.mode == "skip":
@@ -344,11 +367,15 @@ def _object_side(
         return out if len(out) else None
 
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
-        refs_local = {
-            "uri_mapping": get_broadcast(refs["uri_mapping"]),
-            "shape_instances": get_broadcast(refs["shape_instances"]),
-            "clean_maps": get_broadcast(refs["clean_maps"]),
-        }
+        refs_local = (
+            {
+                "uri_mapping": get_broadcast(refs["uri_mapping"]),
+                "shape_instances": get_broadcast(refs["shape_instances"]),
+                "clean_maps": get_broadcast(refs["clean_maps"]),
+            }
+            if refs is not None
+            else None
+        )
         outs = []
         for pred, group in batch.groupby("predicate", sort=False):
             rows = pd.DataFrame(
@@ -426,20 +453,33 @@ def build_facts(
             continue
         ann_configs.append(cfg)
 
-    clean_maps = build_clean_maps(root, state, state.stats)
-    from .broadcast import HashedMultiMap, HashedSet
+    if state.distributed:
+        # the 10^12-doc path: every broadcast below becomes a hash join
+        # against the state Datasets (build_dist module docstring)
+        from .build_dist import object_side_dist, subject_side_dist
 
-    refs = {
-        "uri_mapping": state.packed_ref("uri_mapping"),
-        "shape_instances": state.packed_ref("shape_instances"),
-        "best_rank": ray.put(HashedSet(best_rank_statements(root))),
-        "clean_maps": ray.put(
-            {family: HashedMultiMap(m) for family, m in clean_maps.items()}
-        ),
-    }
+        refs = None
+        clean_ds = build_clean_values_ds(root, state).materialize()
+        subjects = subject_side_dist(root, configs, state, num_partitions)
+        objects = object_side_dist(
+            root, configs, state, clean_ds, T.PS_PREFIX, T.PSV_PREFIX,
+            num_partitions,
+        )
+    else:
+        clean_maps = build_clean_maps(root, state, state.stats)
+        from .broadcast import HashedMultiMap, HashedSet
 
-    subjects = _subject_side(root, configs, refs)
-    objects = _object_side(root, configs, refs, T.PS_PREFIX, T.PSV_PREFIX)
+        refs = {
+            "uri_mapping": state.packed_ref("uri_mapping"),
+            "shape_instances": state.packed_ref("shape_instances"),
+            "best_rank": ray.put(HashedSet(best_rank_statements(root))),
+            "clean_maps": ray.put(
+                {family: HashedMultiMap(m) for family, m in clean_maps.items()}
+            ),
+        }
+
+        subjects = _subject_side(root, configs, refs)
+        objects = _object_side(root, configs, refs, T.PS_PREFIX, T.PSV_PREFIX)
 
     joined = hash_join(
         subjects,
@@ -480,7 +520,17 @@ def build_facts(
 
     # ---- annotations (plan.rs:1034-1064, 1165-1192) ----
     if ann_configs:
-        ann_objects = _object_side(root, ann_configs, refs, T.PQ_PREFIX, T.PQV_PREFIX)
+        if state.distributed:
+            from .build_dist import object_side_dist
+
+            ann_objects = object_side_dist(
+                root, ann_configs, state, clean_ds, T.PQ_PREFIX, T.PQV_PREFIX,
+                num_partitions,
+            )
+        else:
+            ann_objects = _object_side(
+                root, ann_configs, refs, T.PQ_PREFIX, T.PQV_PREFIX
+            )
         ann_paths = ray.put({c.cfg_id: c.path for c in ann_configs})
 
         def ann_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -547,11 +597,13 @@ def build_facts(
 # ---------------------------------------------------------------------------
 
 def build_labels(root: str, state: BuildState, paths: list[str] | None = None, dedup: bool = True) -> Dataset:
+    """Label/comment/alternateName triples in ONE fused scan over every
+    label predicate (per-shape dispatch vectorized inside batches); the
+    reference scans per shape (plan.rs:818-892)."""
     paths = paths or LABEL_PATHS
     schema = state.schema
-    shapes = [s for s in schema.property_shapes() if s.path in paths]
-    parts = []
-    for shape in shapes:
+    shapes_meta: list[tuple[str, frozenset, str, tuple[str, ...]]] = []
+    for shape in (s for s in schema.property_shapes() if s.path in paths):
         if not shape.datatypes:
             raise NotImplementedError("label path without datatypes")
         if shape.nodes:
@@ -560,41 +612,67 @@ def build_labels(root: str, state: BuildState, paths: list[str] | None = None, d
             raise NotImplementedError(
                 "maxCount/pattern on the simple label path (plan.rs:864-881)"
             )
-        dts = frozenset(shape.datatypes)
         parent = schema.node_shape(shape.parent_shape).target_class
-        ds = scan_predicate(root, list(shape.from_properties))
+        shapes_meta.append(
+            (shape.path, frozenset(shape.datatypes), parent,
+             tuple(shape.from_properties))
+        )
+    if not shapes_meta:
+        return _empty_triples()
+
+    if state.distributed:
+        from .build_dist import labels_dist
+
+        ds = labels_dist(root, state, shapes_meta)
+    else:
+        pred_to_shapes: dict[str, list] = {}
+        for path, dts, parent, preds in shapes_meta:
+            for pred in preds:
+                pred_to_shapes.setdefault(pred, []).append((path, dts, parent))
         refs = {
             "uri_mapping": state.packed_ref("uri_mapping"),
             "shape_instances": state.packed_ref("shape_instances"),
         }
-        out_path = shape.path
 
-        def stage(batch: pd.DataFrame, dts=dts, parent=parent, out_path=out_path) -> pd.DataFrame:
+        def stage(batch: pd.DataFrame) -> pd.DataFrame:
             uri_map = get_broadcast(refs["uri_mapping"])
-            instances = get_broadcast(refs["shape_instances"]).get(parent)
-            keep = datatype_series(batch["object"]).isin(dts)
+            instances = get_broadcast(refs["shape_instances"])
+            dtypes = datatype_series(batch["object"])
             subjects = uri_map.lookup(batch["subject"])
-            keep &= subjects.notna()
-            if instances is not None:
-                keep &= pd.Series(
-                    instances.contains(subjects.fillna("")), index=batch.index
-                )
-            else:
-                keep &= False
-            return pd.DataFrame(
-                {
-                    "subject": subjects[keep],
-                    "predicate": out_path,
-                    "object": batch["object"][keep],
-                }
-            )
+            mapped = subjects.notna()
+            outs = []
+            for pred, group in batch.groupby("predicate", sort=False):
+                for path, dts, parent in pred_to_shapes.get(pred, ()):
+                    inst = instances.get(parent)
+                    if inst is None:
+                        continue
+                    sub = subjects.loc[group.index]
+                    keep = (
+                        dtypes.loc[group.index].isin(dts)
+                        & mapped.loc[group.index]
+                        & pd.Series(
+                            inst.contains(sub.fillna("")), index=group.index
+                        )
+                    )
+                    if keep.any():
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "subject": sub[keep],
+                                    "predicate": path,
+                                    "object": group["object"][keep],
+                                }
+                            )
+                        )
+            if not outs:
+                return pd.DataFrame(
+                    {"subject": [], "predicate": [], "object": []}
+                ).astype(str)
+            return pd.concat(outs, ignore_index=True)
 
-        parts.append(ds.map_batches(stage, batch_format="pandas"))
-    if not parts:
-        return _empty_triples()
-    ds = parts[0]
-    if len(parts) > 1:
-        ds = ds.union(*parts[1:])
+        ds = scan_predicate(root, list(pred_to_shapes)).map_batches(
+            stage, batch_format="pandas"
+        )
     if dedup:
         ds = distinct_rows(ds, ["subject", "predicate", "object"])
     return ds
@@ -605,15 +683,37 @@ def build_labels(root: str, state: BuildState, paths: list[str] | None = None, d
 # ---------------------------------------------------------------------------
 
 def build_simple_types(state: BuildState) -> Dataset:
-    rows = [
-        (instance, T.RDF_TYPE, cls)
-        for cls, instances in state.shape_instances.items()
-        for instance in instances
-    ]
-    return _triples_ds(rows)
+    """rdf:type triples straight from the shape-instances Dataset (ST3)
+    — no driver-side row materialization at any scale."""
+    inst = state.datasets.get("shape_instances")
+    if inst is None:  # state built without the dataset (tests only)
+        return _triples_ds(
+            [
+                (instance, T.RDF_TYPE, cls)
+                for cls, instances in state.shape_instances.items()
+                for instance in instances
+            ]
+        )
+    return inst.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "subject": b["instance"],
+                "predicate": T.RDF_TYPE,
+                "object": b["shape"],
+            }
+        ),
+        batch_format="pandas",
+    )
 
 
 def build_full_types(root: str, state: BuildState, dedup: bool = True) -> Dataset:
+    if state.distributed:
+        from .build_dist import full_types_dist
+
+        out = full_types_dist(root, state)
+        if dedup:
+            out = distinct_rows(out, ["subject", "predicate", "object"])
+        return out
     refs = {
         "uri_mapping": state.packed_ref("uri_mapping"),
         "things": state.packed_ref("things"),
@@ -701,23 +801,52 @@ def build_classes_description(root: str, state: BuildState, dedup: bool = True) 
 # ---------------------------------------------------------------------------
 
 def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
-    things = state.things()
-    rows = [
-        (yago, T.OWL_SAME_AS, wd)
-        for wd, yago in state.uri_mapping.items()
-        if yago in things
-    ]
-    rows += [
-        (yago, T.OWL_SAME_AS, T.iri(C.enwiki_to_dbpedia(url)))
-        for wd, url in state.enwiki_mapping.items()
-        if (yago := state.uri_mapping.get(wd)) is not None and yago in things
-    ]
-    static = _triples_ds(rows)
+    if state.distributed:
+        from .build_dist import same_as_dist
+
+        out = same_as_dist(root, state)
+        if dedup:
+            out = distinct_rows(out, ["subject", "predicate", "object"])
+        return out
 
     refs = {
         "uri_mapping": state.packed_ref("uri_mapping"),
         "things": state.packed_ref("things"),
     }
+
+    # wd identity + dbpedia links derive from the state DATASETS (no
+    # driver-side row loop); the things membership stays a broadcast
+    def wd_links(batch: pd.DataFrame) -> pd.DataFrame:
+        things_b = get_broadcast(refs["things"])
+        keep = things_b.contains(batch["uri"])
+        sel = batch[keep]
+        return pd.DataFrame(
+            {
+                "subject": sel["uri"],
+                "predicate": T.OWL_SAME_AS,
+                "object": sel["item"],
+            }
+        )
+
+    def dbpedia_links(batch: pd.DataFrame) -> pd.DataFrame:
+        uri_map = get_broadcast(refs["uri_mapping"])
+        things_b = get_broadcast(refs["things"])
+        yago = uri_map.lookup(batch["item"])
+        keep = yago.notna().to_numpy() & things_b.contains(yago.fillna(""))
+        sel = batch[keep]
+        return pd.DataFrame(
+            {
+                "subject": yago[keep],
+                "predicate": T.OWL_SAME_AS,
+                "object": "<" + sel["url"].map(C.enwiki_to_dbpedia) + ">",
+            }
+        )
+
+    static = state.datasets["uri_mapping"].map_batches(
+        wd_links, batch_format="pandas"
+    ).union(
+        state.datasets["enwiki"].map_batches(dbpedia_links, batch_format="pandas")
+    )
 
     def freebase(batch: pd.DataFrame) -> pd.DataFrame:
         uri_map = get_broadcast(refs["uri_mapping"])
@@ -1009,6 +1138,7 @@ def generate_yago(
     schema: Schema | None = None,
     state: BuildState | None = None,
     write: bool = True,
+    distributed: bool | None = None,
 ) -> dict[str, Dataset]:
     """Run the full build (plan.rs:64-203).
 
@@ -1020,7 +1150,9 @@ def generate_yago(
     manifest; completed outputs (same lineage) are skipped on rerun.
     """
     if state is None:
-        state = build_state(statements_root, schema=schema, size=size)
+        state = build_state(
+            statements_root, schema=schema, size=size, distributed=distributed
+        )
 
     if not (write and out_dir is not None):
         facts, annotated = build_facts(statements_root, state)

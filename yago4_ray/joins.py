@@ -124,6 +124,59 @@ def hash_join(
     )
 
 
+def copartition_join(
+    left: Dataset,
+    right: Dataset,
+    on: str | tuple[str, ...],
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    num_parts: int = 32,
+) -> Dataset:
+    """Task-based co-partitioned equi-join: tag each side, hash-partition
+    the UNION on the join key, merge per part with vectorized pandas.
+
+    Why not `Dataset.join`: Ray's native hash join spawns one
+    CPU-reserving AGGREGATOR ACTOR per partition per call (~1 s startup
+    each). A DAG with a dozen semi-joins — exactly what the distributed
+    state path is — oversubscribes a session's CPUs with idle actors and
+    stalls (measured: 28 aggregators deadlocked a 4-CPU session). This
+    join is pure tasks on the same groupby shuffle machinery as
+    partitioned_group_apply: one exchange, no actors, composes freely.
+
+    `left_cols`/`right_cols` are each side's full column lists (schemas
+    are known statically at every call site; asking the Dataset would
+    trigger execution). Non-key columns must be disjoint across sides."""
+    keys = [on] if isinstance(on, str) else list(on)
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def tag(side: int, cols: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.reindex(columns=all_cols)
+            key = batch[keys[0]].astype(str)
+            for c in keys[1:]:
+                key = key + _SEP + batch[c].astype(str)
+            batch["__part"] = (
+                pd.util.hash_pandas_object(key, index=False).to_numpy() % num_parts
+            ).astype("int64")
+            batch["__side"] = side
+            return batch
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_cols), batch_format="pandas")
+    rt = right.map_batches(tag(1, right_cols), batch_format="pandas")
+
+    def join_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        lhs = pdf[pdf["__side"] == 0][left_cols]
+        rhs = pdf[pdf["__side"] == 1][right_cols]
+        return lhs.merge(rhs, on=keys, how=how)
+
+    return lt.union(rt).groupby("__part").map_groups(
+        join_part, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / grouped filters
 # ---------------------------------------------------------------------------

@@ -93,6 +93,10 @@ class BuildState:
     wd_to_yago_class_mapping: dict[str, list[str]]
     yago_super_class_of: dict[str, list[str]]
     shape_instances: dict[str, set[str]]  # target class term → instance terms
+    # distributed=True → the fact pipelines consume `datasets` via hash
+    # joins (build_dist) instead of the packed broadcasts below; chosen
+    # by build_state from state size / YAGO4_RAY_DISTRIBUTED_STATE=1
+    distributed: bool = False
     datasets: dict[str, Dataset] = field(default_factory=dict)
 
     # broadcast refs, created lazily
@@ -134,8 +138,10 @@ class BuildState:
 # ST5: Wikidata → English Wikipedia
 # ---------------------------------------------------------------------------
 
-def build_enwiki_mapping(root: str) -> dict[str, str]:
-    """schema:about sitelinks restricted to en.wikipedia (plan.rs:206-223)."""
+def build_enwiki_mapping(root: str) -> tuple[dict[str, str], Dataset]:
+    """schema:about sitelinks restricted to en.wikipedia (plan.rs:206-223).
+    Returns (driver dict, (item, url) Dataset) — the Dataset is the
+    distributed-state join side."""
     ds = scan_predicate(root, T.SCHEMA_ABOUT)
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
@@ -144,8 +150,9 @@ def build_enwiki_mapping(root: str) -> dict[str, str]:
         out = batch[mask]
         return pd.DataFrame({"item": out["object"], "url": urls[mask]})
 
-    pairs = ds.map_batches(extract, batch_format="pandas").to_pandas()
-    return dict(zip(pairs["item"], pairs["url"]))
+    pairs_ds = ds.map_batches(extract, batch_format="pandas").materialize()
+    pairs = pairs_ds.to_pandas()
+    return dict(zip(pairs["item"], pairs["url"])), pairs_ds
 
 
 # ---------------------------------------------------------------------------
@@ -297,7 +304,7 @@ def build_uri_mapping(
     candidates = schema_rows.union(wiki_rows, label_rows, markers)
     if strategy == "distributed":
         # the 100 TB path: ONE groupby(item) over all candidate rows
-        merged = partitioned_group_apply(candidates, ["item"], merge_part)
+        merged = partitioned_group_apply(candidates, ["item"], merge_part).materialize()
         pairs = merged.to_pandas()
     else:
         # driver merge (the reference's own architecture, plan.rs:284-379):
@@ -581,7 +588,7 @@ def build_shape_instances(
         ["instance"],
         resolve_part,
         combine=lambda pdf: pdf.drop_duplicates(["shape", "instance"]),
-    )
+    ).materialize()  # consumed by simple-types + every distributed join
 
     result = resolved.to_pandas()
     shape_instances: dict[str, set[str]] = {t: set() for t in shape_targets}
@@ -596,27 +603,44 @@ def build_shape_instances(
 # Orchestration
 # ---------------------------------------------------------------------------
 
+# above this many URI-mapping entries the packed broadcasts stop being
+# "small state" and every fact-pipeline call site flips to hash joins
+# against the state Datasets (build_dist) — a worker-heap bound, not a
+# correctness one (both paths are verified identical)
+DISTRIBUTED_STATE_THRESHOLD = 50_000_000
+
+
 def build_state(
     statements_root: str,
     schema: Schema | None = None,
     size: str = "full",
+    distributed: bool | None = None,
 ) -> BuildState:
     import concurrent.futures as _cf
+    import os as _os
 
     schema = schema or Schema.open()
     stats = Stats()
+    uri_strategy = "distributed" if distributed else "driver"
     # the four input reductions are independent — run them as concurrent
     # Ray Data executions (the reference overlaps its state builds with
     # threads too, plan.rs:908-1032)
     with _cf.ThreadPoolExecutor(max_workers=4) as pool:
         f_enwiki = pool.submit(build_enwiki_mapping, statements_root)
-        f_uri = pool.submit(build_uri_mapping, statements_root, schema, stats, size)
+        f_uri = pool.submit(
+            build_uri_mapping, statements_root, schema, stats, size, uri_strategy
+        )
         f_p279 = pool.submit(collect_p279_edges, statements_root)
         f_counts = pool.submit(collect_instance_counts, statements_root)
-        enwiki_mapping = f_enwiki.result()
+        enwiki_mapping, enwiki_ds = f_enwiki.result()
         uri_mapping, uri_ds = f_uri.result()
         p279_edges = f_p279.result()
         instance_counts = f_counts.result()
+    if distributed is None:
+        distributed = (
+            len(uri_mapping) >= DISTRIBUTED_STATE_THRESHOLD
+            or _os.environ.get("YAGO4_RAY_DISTRIBUTED_STATE") == "1"
+        )
     stats.set_global(
         "Wikidata items mapped to English Wikipedia articles", len(enwiki_mapping)
     )
@@ -644,7 +668,9 @@ def build_state(
         wd_to_yago_class_mapping=wd_to_yago_class_mapping,
         yago_super_class_of=yago_super_class_of,
         shape_instances=shape_instances,
+        distributed=bool(distributed),
     )
     state.datasets["uri_mapping"] = uri_ds
     state.datasets["shape_instances"] = inst_ds
+    state.datasets["enwiki"] = enwiki_ds
     return state
