@@ -79,24 +79,52 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+
+def batch_shingle_hashes(
+    texts, k: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, hash) for every byte k-shingle of every normalized text
+    — ONE numpy pass over the concatenated byte buffer (sliding windows
+    + polynomial hash), no per-shingle Python. Hashes wrap mod 2^64;
+    deterministic across processes."""
+    encoded = []
+    for t in texts:
+        b = " ".join(str(t).lower().split()).encode("utf-8")
+        if len(b) < k:
+            b = b.ljust(k)
+        encoded.append(b)
+    if not encoded:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    lens = np.fromiter((len(b) for b in encoded), np.int64, count=len(encoded))
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    doc_of = np.repeat(np.arange(len(encoded), dtype=np.int64), lens)
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k)
+    pows = _SHINGLE_BASE ** np.arange(k, dtype=np.uint64)
+    h = (windows.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    idx = np.arange(len(h))
+    valid = doc_of[idx] == doc_of[idx + k - 1]  # windows inside one doc
+    return doc_of[idx[valid]], h[valid]
+
+
 def shingles(text: str, k: int = 5) -> np.ndarray:
-    """crc32 hashes of character k-shingles of the lowercased text."""
-    t = " ".join(text.lower().split())
-    if len(t) < k:
-        t = t.ljust(k)
-    vals = {zlib.crc32(t[i:i + k].encode("utf-8")) for i in range(len(t) - k + 1)}
-    return np.fromiter(vals, dtype=np.int64, count=len(vals))
+    """Distinct k-shingle hashes of one text (batch kernel, n=1)."""
+    _, h = batch_shingle_hashes([text], k)
+    return np.unique(h)
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
-    sh = shingles(text, k)
+    sh = shingles(text, k).astype(np.int64)
     # (num_perm, n_shingles) universal hashing, min over shingles
     h = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
     return h.min(axis=1)
 
 
 class MinHasher:
-    """Actor-pool stage: hash params built once per actor."""
+    """Actor-pool stage: hash params built once per actor; the per-batch
+    work is fully vectorized (batch shingling, one (shingles × perms)
+    matrix, per-doc min via np.minimum.at — no per-doc Python loop)."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int,
                  shingle_k: int, seed: int):
@@ -106,19 +134,33 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
+        self.num_perm = num_perm
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "doc": []}
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = minhash_signature(str(text), self.a, self.b, self.shingle_k)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                band_hash = hashlib.blake2b(
-                    chunk.tobytes() + band.to_bytes(2, "little"), digest_size=8
-                ).hexdigest()
-                out["band"].append(band_hash)
-                out["doc"].append(doc_id)
-        return pd.DataFrame(out)
+        n_docs = len(batch)
+        if n_docs == 0:
+            return pd.DataFrame({"band": [], "bh": [], "doc": []})
+        doc_idx, sh = batch_shingle_hashes(
+            batch[self.text_col].tolist(), self.shingle_k
+        )
+        # per-doc signature: wrap-mod-2^64 universal hashing then min
+        vals = (
+            self.a.astype(np.uint64)[None, :] * sh[:, None]
+            + self.b.astype(np.uint64)[None, :]
+        ) % np.uint64(_MERSENNE)  # (n_shingles, num_perm)
+        sig = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(sig, doc_idx, vals)
+        # per-(doc, band) hash: polynomial fold of the band's rows
+        bands = sig.reshape(n_docs, self.bands, self.rows_per_band)
+        bh = np.zeros((n_docs, self.bands), np.uint64)
+        for r in range(self.rows_per_band):
+            bh = bh * _SHINGLE_BASE + bands[:, :, r]
+        docs = np.repeat(batch[self.id_col].to_numpy(), self.bands)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int64), n_docs)
+        return pd.DataFrame(
+            {"band": band_ids, "bh": bh.reshape(-1).astype(np.int64),
+             "doc": docs}
+        )
 
 
 def minhash_lsh_pairs(
@@ -142,7 +184,7 @@ def minhash_lsh_pairs(
 
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for _, docs in pdf.groupby("band")["doc"]:
+        for _, docs in pdf.groupby(["band", "bh"])["doc"]:
             uniq = sorted(set(docs))
             if len(uniq) < 2 or len(uniq) > 1000:  # degenerate band guard
                 continue
@@ -154,7 +196,7 @@ def minhash_lsh_pairs(
 
     from ..joins import distinct_rows, partitioned_group_apply
 
-    pairs = partitioned_group_apply(banded, ["band"], pairs_in_part)
+    pairs = partitioned_group_apply(banded, ["band", "bh"], pairs_in_part)
     # dedupe pairs found in multiple bands
     return distinct_rows(pairs, ["a", "b"])
 
@@ -176,27 +218,41 @@ def minhash_dedup(
     **kwargs,
 ) -> Dataset:
     """Full near-dup pipeline → (id, cluster) rows for docs in clusters.
-    Candidates are verified with true n-gram Jaccard (broadcast text
-    lookup — the text side must fit; at scale verify via a join instead),
-    then clustered with iterative min-label propagation."""
-    import ray
+    Candidate pairs are verified with true n-gram Jaccard by JOINING the
+    pairs to the (id, text) dataset on `a` then on `b` — the corpus text
+    never leaves the object store; only the candidate-pair rows (near-dup
+    edges, tiny relative to the corpus) reach the driver for the final
+    min-label clustering."""
+    from ..joins import copartition_join
 
     pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
-    texts_ref = ray.put(
-        dict(zip(*[ds.to_pandas()[c] for c in (id_col, text_col)]))
+    text_a = ds.map_batches(
+        lambda b: pd.DataFrame({"a": b[id_col], "text_a": b[text_col]}),
+        batch_format="pandas",
     )
-    from ..joins import get_broadcast
+    text_b = ds.map_batches(
+        lambda b: pd.DataFrame({"b": b[id_col], "text_b": b[text_col]}),
+        batch_format="pandas",
+    )
+    joined = copartition_join(pairs, text_a, "a", ["a", "b"], ["a", "text_a"])
+    joined = copartition_join(
+        joined, text_b, "b", ["a", "b", "text_a"], ["b", "text_b"]
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = get_broadcast(texts_ref)
-        keep_a, keep_b = [], []
-        for a, b in zip(batch["a"], batch["b"]):
-            if ngram_jaccard(str(texts.get(a, "")), str(texts.get(b, ""))) >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pd.DataFrame({"a": keep_a, "b": keep_b})
+        keep = np.fromiter(
+            (
+                ngram_jaccard(str(ta), str(tb)) >= threshold
+                for ta, tb in zip(batch["text_a"], batch["text_b"])
+            ),
+            dtype=bool,
+            count=len(batch),
+        )
+        return batch[keep][["a", "b"]]
 
-    verified = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    verified = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if "a" not in verified.columns:  # all-empty blocks carry no schema
+        verified = pd.DataFrame({"a": [], "b": []})
     # min-label propagation on the driver: candidate graph is tiny
     # relative to the corpus (near-dup edges only)
     label: dict = {}
@@ -227,21 +283,33 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def batch_simhash64(texts) -> np.ndarray:
+    """64-bit SimHash per text, vectorized: tokens hashed as ONE
+    pandas siphash column (deterministic across processes), bit
+    matrix unpacked and accumulated per doc with np.add.at."""
+    tokens: list[str] = []
+    counts = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        tk = _TOKEN_RE.findall(str(t).lower())
+        tokens.extend(tk)
+        counts[i] = len(tk)
+    out = np.zeros(len(texts), np.uint64)
+    if not tokens:
+        return out
+    h = pd.util.hash_pandas_object(pd.Series(tokens), index=False).to_numpy()
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+    acc = np.zeros((len(texts), 64), np.int64)
+    np.add.at(acc, doc_idx, bits)
+    return ((acc > 0).astype(np.uint64) * (np.uint64(1) << shifts)).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over crc32 token hashes."""
-    acc = np.zeros(64, dtype=np.int64)
-    for token in _TOKEN_RE.findall(text.lower()):
-        h = zlib.crc32(token.encode("utf-8"))
-        h = (h << 32) | zlib.crc32(token[::-1].encode("utf-8"))
-        bits = np.unpackbits(
-            np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += bits * 2 - 1
-    out = np.uint64(0)
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    """64-bit SimHash of one text (batch kernel, n=1)."""
+    return int(batch_simhash64([text])[0])
 
 
 def simhash_dedup_pairs(
@@ -251,20 +319,28 @@ def simhash_dedup_pairs(
     hamming ≤ 3 shares at least one exact band), verify hamming in-band."""
 
     def add_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "doc": [], "sim": []}
-        for doc_id, text in zip(batch[id_col], batch[text_col]):
-            sh = simhash64(str(text))
-            for band in range(4):
-                part = (sh >> (16 * band)) & 0xFFFF
-                out["band"].append(f"{band}:{part:04x}")
-                out["doc"].append(doc_id)
-                out["sim"].append(sh)
-        return pd.DataFrame(out)
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({"band": [], "doc": [], "sim": []})
+        sh = batch_simhash64(batch[text_col].tolist())
+        bands = np.arange(4, dtype=np.uint64)
+        parts = (sh[:, None] >> (np.uint64(16) * bands[None, :])) & np.uint64(0xFFFF)
+        band_keys = (bands[None, :] << np.uint64(16)) | parts  # 4*65536 key space
+        return pd.DataFrame(
+            {
+                "band": band_keys.reshape(-1).astype(np.int64),
+                "doc": np.repeat(batch[id_col].to_numpy(), 4),
+                "sim": np.repeat(sh.astype(np.int64), 4),
+            }
+        )
+
+    _MASK = (1 << 64) - 1
 
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
         for _, grp in pdf.groupby("band"):
-            rows = sorted(set(zip(grp["doc"], grp["sim"])))
+            # sims ride as int64; mask back to the uint64 bit pattern
+            rows = sorted({(d, int(s) & _MASK) for d, s in zip(grp["doc"], grp["sim"])})
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:

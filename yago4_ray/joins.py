@@ -152,7 +152,11 @@ def copartition_join(
 
     def tag(side: int, cols: list[str]):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.reindex(columns=all_cols)
+            # object dtype end-to-end: when Ray concatenates both sides'
+            # blocks into a group, a typed (e.g. int64) key column would
+            # be promoted to float64 by the other side's NaN fill and
+            # its string form would no longer hash equal ("2.0" vs "2")
+            batch = batch.reindex(columns=all_cols).astype(object)
             key = batch[keys[0]].astype(str)
             for c in keys[1:]:
                 key = key + _SEP + batch[c].astype(str)
