@@ -223,15 +223,33 @@ def minhash_dedup(
     never leaves the object store; only the candidate-pair rows (near-dup
     edges, tiny relative to the corpus) reach the driver for the final
     min-label clustering."""
-    from ..joins import copartition_join
+    import ray
 
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
-    text_a = ds.map_batches(
-        lambda b: pd.DataFrame({"a": b[id_col], "text_a": b[text_col]}),
+    from ..joins import copartition_join, get_broadcast
+
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).materialize()
+    # bound the join sides by the CANDIDATE set before shuffling text:
+    # near-dup candidates are edges (tiny vs the corpus), so one corpus
+    # pass with a broadcast id-set filter leaves a candidate-sized
+    # (id, text) dataset — the two verify joins then shuffle only that,
+    # never the full corpus text
+    cand_ids = set()
+    for batch in pairs.iter_batches(batch_format="pandas"):
+        cand_ids.update(batch["a"])
+        cand_ids.update(batch["b"])
+    ids_ref = ray.put(cand_ids)
+
+    def cand_texts(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[id_col].isin(get_broadcast(ids_ref))
+        return pd.DataFrame({"id": b[id_col][keep], "text": b[text_col][keep]})
+
+    texts = ds.map_batches(cand_texts, batch_format="pandas").materialize()
+    text_a = texts.map_batches(
+        lambda b: pd.DataFrame({"a": b["id"], "text_a": b["text"]}),
         batch_format="pandas",
     )
-    text_b = ds.map_batches(
-        lambda b: pd.DataFrame({"b": b[id_col], "text_b": b[text_col]}),
+    text_b = texts.map_batches(
+        lambda b: pd.DataFrame({"b": b["id"], "text_b": b["text"]}),
         batch_format="pandas",
     )
     joined = copartition_join(pairs, text_a, "a", ["a", "b"], ["a", "text_a"])

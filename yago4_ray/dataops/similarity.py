@@ -21,8 +21,8 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
-def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float32) for v in col])
+def _stack(col, dtype=np.float32) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=dtype) for v in col])
 
 
 def brute_force_topk(
@@ -31,16 +31,22 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dtype=np.float32,
+    round_decimals: int | None = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row.
-    Returns (query_idx, id, cosine, rank), deterministic ties by id."""
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    Returns (query_idx, id, cosine, rank), deterministic ties by id.
+    dtype=float64 + round_decimals makes the ranking reproducible against
+    an independent double-precision oracle (SQL list_cosine_similarity)."""
+    q = _normalize(np.asarray(queries, dtype=dtype))
     q_ref = ray.put(q)
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
         qm = get_broadcast(q_ref)
-        mat = _normalize(_stack(batch[vec_col]))
+        mat = _normalize(_stack(batch[vec_col], dtype))
         sims = qm @ mat.T  # (n_queries, batch)
+        if round_decimals is not None:
+            sims = np.round(sims, round_decimals)
         ids = batch[id_col].to_numpy()
         out = {"query_idx": [], "id": [], "cosine": []}
         kk = min(k, sims.shape[1])
@@ -61,6 +67,36 @@ def brute_force_topk(
     top = partials.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_idx").cumcount()
     return top
+
+
+def brute_force_pairs(
+    ds: Dataset,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """EXACT all-pairs cosine ≥ threshold (a < b): the full normalized
+    matrix is broadcast once (embeddings are narrow), each batch matmuls
+    against it — linear passes, zero corpus shuffle, no bucketing recall
+    loss. Complements embedding_dedup_pairs (the LSH-bucketed scale
+    path) as the verifiable baseline."""
+    df = ds.to_pandas()  # id + narrow vectors only — the broadcast side
+    ids_all = df[id_col].to_numpy()
+    mat_all = _normalize(_stack(df[vec_col], np.float64))
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_a, mat = get_broadcast(ref)
+        bmat = _normalize(_stack(batch[vec_col], np.float64))
+        bids = batch[id_col].to_numpy()
+        sims = bmat @ mat.T  # (batch, all)
+        hit_i, hit_j = np.nonzero(sims >= threshold)
+        keep = bids[hit_i] < ids_a[hit_j]  # emit each pair once, a < b
+        return pd.DataFrame(
+            {"a": bids[hit_i[keep]], "b": ids_a[hit_j[keep]]}
+        )
+
+    return ds.map_batches(pairs, batch_format="pandas")
 
 
 def fit_centroids(

@@ -490,6 +490,57 @@ SQL_ORACLES = {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
+    "q16_customer_order_join": """
+        SELECT c.c_mktsegment AS c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "text_stats_exact": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(
+                   text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^\\sA-Za-zÀ-ÿ0-9]'
+               )) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS BIGINT)
+                   AS n_punct,
+               CAST(len(list_filter(
+                   regexp_extract_all(lower(text), '[a-z]+'),
+                   t -> t IN ('the','and','of','to','a','in','is','was','that',
+                              'for','it','with','as','his','on','be','at','by','an')
+               )) AS BIGINT) AS n_stop_en
+        FROM documents
+    """,
+    "sim_topk_brute": """
+        WITH qs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 4
+        )
+        SELECT qs.vec_id AS query_id, e.vec_id AS id,
+               CAST(row_number() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       qs.qe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       e.vec_id ASC
+               ) AS BIGINT) AS "rank"
+        FROM qs, embeddings e
+        QUALIFY "rank" <= 10
+    """,
+    "dedup_embedding_exact_pairs": """
+        WITH planted AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+            FROM embeddings WHERE vec_id < 25
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+    """,
 }
 
 
@@ -630,15 +681,29 @@ def dedup_embedding_pairs(sf_dir: str):
 
 
 def sim_topk_brute(sf_dir: str):
-    """Exact cosine top-10 for 4 fixed query vectors; id/rank only."""
+    """Exact cosine top-10 for the 4 lowest-id query vectors, computed in
+    float64 with 6-dp rounding + id tie-break so the ranking is
+    reproducible against DuckDB's list_cosine_similarity oracle."""
     from .dataops.similarity import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ds.sort("vec_id").limit(4).to_pandas()
     queries = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float32) for r in ds.take(4)]
+        [np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]
     )
-    top = brute_force_topk(ds, queries, k=10)
-    return top[["query_idx", "rank", "id"]]
+    top = brute_force_topk(
+        ds, queries, k=10, dtype=np.float64, round_decimals=6
+    )
+    out = pd.DataFrame(
+        {
+            "query_id": top["query_idx"].map(
+                dict(enumerate(qdf["vec_id"]))
+            ).astype("int64"),
+            "id": top["id"].astype("int64"),
+            "rank": (top["rank"] + 1).astype("int64"),
+        }
+    )
+    return out
 
 
 def sim_topk_ivf(sf_dir: str):
@@ -658,6 +723,108 @@ def text_stats_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return text_stats(ds, "text").select_columns(
         ["doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality"]
+    )
+
+
+_STOP_EN = ("the", "and", "of", "to", "a", "in", "is", "was", "that", "for",
+            "it", "with", "as", "his", "on", "be", "at", "by", "an")
+
+
+def text_stats_exact(sf_dir: str):
+    """Integer text-analysis stats chosen to be bit-exactly
+    SQL-expressible (the oracled face of the text_stats family):
+    chars, whitespace tokens, BPE-ish subword tokens, punctuation count,
+    English-stopword count — all vectorized pandas str kernels."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop_set = set(_STOP_EN)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype(str)
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": texts.str.len().astype("int64"),
+                "n_tokens": texts.str.count(r"\S+").astype("int64"),
+                "n_bpe_tokens": texts.str.count(
+                    r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]"
+                ).astype("int64"),
+                "n_punct": texts.str.count(r"[^A-Za-z0-9_\s]").astype("int64"),
+                "n_stop_en": words.map(
+                    lambda ws: sum(w in stop_set for w in ws)
+                ).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pandas")
+
+
+def dedup_embedding_exact_pairs(sf_dir: str):
+    """EXACT all-pairs cosine ≥ 0.95 over the planted-dupe embedding set
+    (float64 broadcast-matmul baseline; the LSH variant is the scale
+    path). SQL-oracled via DuckDB list_cosine_similarity."""
+    from .dataops.similarity import brute_force_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant_dupes(df: pd.DataFrame) -> pd.DataFrame:
+        dupes = df[df["vec_id"] < 25].copy()
+        if len(dupes):
+            dupes["vec_id"] = dupes["vec_id"] + 1_000_000_000
+            dupes["embedding"] = dupes["embedding"].map(
+                lambda v: (np.asarray(v, dtype=np.float64) * 1.01).tolist()
+            )
+        return pd.concat([df, dupes], ignore_index=True)
+
+    planted = ds.map_batches(plant_dupes, batch_format="pandas")
+    pairs = brute_force_pairs(planted, threshold=0.95)
+    return pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["a"].astype("int64"), "b": df["b"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q16_customer_order_join(sf_dir: str):
+    """orders ⨝ customer via the task-based co-partitioned join
+    (joins.copartition_join) → per-market-segment order count + revenue
+    in integer cents."""
+    from .joins import copartition_join, partitioned_group_apply
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "custkey": df["o_custkey"],
+                "price_cents": (df["o_totalprice"] * _CENTS)
+                .round()
+                .astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"custkey": df["c_custkey"], "c_mktsegment": df["c_mktsegment"]}
+        ),
+        batch_format="pandas",
+    )
+    joined = copartition_join(
+        orders, customers, "custkey",
+        ["custkey", "price_cents"], ["custkey", "c_mktsegment"],
+    )
+    partials = joined.map_batches(
+        lambda df: df.assign(price_cents=df["price_cents"].astype("int64"))
+        .groupby("c_mktsegment", as_index=False)
+        .agg(n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum")),
+        batch_format="pandas",
+    )
+    return partitioned_group_apply(
+        partials,
+        ["c_mktsegment"],
+        lambda pdf: pdf.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum")
+        ),
     )
 
 
@@ -696,6 +863,7 @@ QUERIES = {
     "q13_session_windows": q13_session_windows,
     "q14_daily_windows": q14_daily_windows,
     "q15_asof_purchase_click": q15_asof_purchase_click,
+    "q16_customer_order_join": q16_customer_order_join,
     "kg_facts": kg_facts,
     "kg_annotated_facts": kg_annotated_facts,
     "kg_labels": kg_labels,
@@ -708,5 +876,7 @@ QUERIES = {
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_ivf": sim_topk_ivf,
     "text_stats_docs": text_stats_docs,
+    "text_stats_exact": text_stats_exact,
+    "dedup_embedding_exact_pairs": dedup_embedding_exact_pairs,
     "media_decode_features": media_decode_features,
 }

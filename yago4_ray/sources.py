@@ -58,24 +58,28 @@ def predicate_key(predicate_term: str) -> str:
     return _KEY_SAFE_RE.sub("_", v)[-80:]
 
 
-def write_statement_store(ds: Dataset, root: str, dedup: bool = True) -> None:
+def write_statement_store(
+    ds: Dataset, root: str, dedup: bool = True, num_parts: int = 32
+) -> None:
     """Partition a (subject, predicate, object) Dataset by predicate.
     Each block is split by predicate at write time via hive partitioning
     (`partition_cols`), replacing the reference's single-threaded RocksDB
     load (partitioned_statements.rs:92-128). `dedup` replicates the
     index's key-uniqueness (one row per distinct triple) — a full-triple
-    hash partition, skew-free even for hub subjects."""
+    hash partition, skew-free even for hub subjects.
+
+    Clustering by predicate uses a HASH repartition on `pred_key` with a
+    per-part sort — not a global range sort: the hash exchange moves each
+    row once with no sample/range-boundary pass, every predicate still
+    lands in exactly one part (→ O(#keys) files, no (block × key) file
+    explosion), and rows within each file keep the reference index's
+    (predicate, subject, object) scan order
+    (partitioned_statements.rs:39-48). At larger cluster sizes raise
+    `num_parts` (hot predicates like rdf:type bound a part's size)."""
     if dedup:
         from .joins import distinct_rows
 
         ds = distinct_rows(ds, ["subject", "predicate", "object"])
-    # cluster by predicate before the hive write: without this every
-    # (block × key) pair becomes its own tiny file (measured: 2k files
-    # for 16 MB) and every downstream scan fans into thousands of read
-    # tasks. After the sort each predicate spans ~1 block → O(#keys)
-    # files, and (predicate, subject) ordering matches the reference
-    # index's scan order (partitioned_statements.rs:39-48).
-    ds = ds.sort(["predicate", "subject", "object"])
 
     def add_key(batch: pa.Table) -> pa.Table:
         keys = pa.array(
@@ -84,9 +88,15 @@ def write_statement_store(ds: Dataset, root: str, dedup: bool = True) -> None:
         )
         return batch.append_column("pred_key", keys)
 
-    ds.map_batches(add_key, batch_format="pyarrow").write_parquet(
-        root, partition_cols=["pred_key"]
+    from .joins import partitioned_group_apply
+
+    clustered = partitioned_group_apply(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        ["pred_key"],
+        lambda pdf: pdf.sort_values(["predicate", "subject", "object"]),
+        num_parts=num_parts,
     )
+    clustered.write_parquet(root, partition_cols=["pred_key"])
 
 
 def scan_predicate(
