@@ -97,3 +97,33 @@ def test_cli_synth_and_partition(ray_session, tmp_path, corpus_dir):
         "-o", store,
     ])
     assert any(d.startswith("pred_key=") for d in os.listdir(store))
+
+
+def test_lance_documents_roundtrip(ray_session, corpus_dir, tmp_path):
+    """input_hint names Lance as the corpus table format; when the
+    package is present the reader must take the Lance branch and
+    preserve the span sequences bit-exactly (skips if lance is absent —
+    the Parquet branch has identical Arrow schema and is always tested)."""
+    import pytest
+
+    lance = pytest.importorskip("lance")
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yago4_ray.sources import read_documents, span_signature_batch
+
+    table = pq.read_table(os.path.join(corpus_dir, "documents.parquet"))
+    target = str(tmp_path / "documents.lance")
+    lance.write_dataset(table, target)
+    ds = read_documents(target)
+    sig_lance = ds.map_batches(
+        span_signature_batch, batch_format="pyarrow"
+    ).to_pandas()
+    sig_pq = (
+        ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+        .map_batches(span_signature_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    a = dict(zip(sig_lance["doc_id"], sig_lance["span_sig"]))
+    b = dict(zip(sig_pq["doc_id"], sig_pq["span_sig"]))
+    assert a == b

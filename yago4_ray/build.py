@@ -1228,7 +1228,9 @@ def generate_yago(
                  "annotation_predicate", "annotation_object"],
             )
             futures.append(
-                pool.submit(write_ntriples, ann_sorted, ann_dir, True, lineage)
+                pool.submit(
+                    write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
+                )
             )
         for f in futures:
             f.result()

@@ -201,13 +201,33 @@ def minhash_lsh_pairs(
     return distinct_rows(pairs, ["a", "b"])
 
 
+def batch_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
+    """n-gram Jaccard for n text PAIRS in one vectorized pass: shingle
+    all 2n texts at once, then per-pair set sizes via one lexsort —
+    no per-pair Python."""
+    texts_a = list(texts_a)
+    texts_b = list(texts_b)
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    doc, h = batch_shingle_hashes(texts_a + texts_b, k)
+    pair = doc % n
+    side = doc // n
+    order = np.lexsort((side, h, pair))
+    p, hh, s = pair[order], h[order], side[order]
+    keep = np.ones(len(p), bool)
+    keep[1:] = (p[1:] != p[:-1]) | (hh[1:] != hh[:-1]) | (s[1:] != s[:-1])
+    p, hh = p[keep], hh[keep]
+    inter_mask = np.zeros(len(p), bool)
+    inter_mask[1:] = (p[1:] == p[:-1]) & (hh[1:] == hh[:-1])
+    inter = np.bincount(p[inter_mask], minlength=n)
+    union = np.bincount(p, minlength=n) - inter
+    return inter / np.maximum(union, 1)
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
-    """ Verification kernel for candidate pairs."""
-    sa = set(shingles(text_a, k).tolist())
-    sb = set(shingles(text_b, k).tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+    """Verification kernel for one candidate pair (batch kernel, n=1)."""
+    return float(batch_jaccard([text_a], [text_b], k)[0])
 
 
 def minhash_dedup(
@@ -225,50 +245,61 @@ def minhash_dedup(
     min-label clustering."""
     import ray
 
-    from ..joins import copartition_join, get_broadcast
+    from ..joins import get_broadcast
 
+    k = kwargs.get("shingle_k", 5)
     pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).materialize()
-    # bound the join sides by the CANDIDATE set before shuffling text:
-    # near-dup candidates are edges (tiny vs the corpus), so one corpus
-    # pass with a broadcast id-set filter leaves a candidate-sized
-    # (id, text) dataset — the two verify joins then shuffle only that,
-    # never the full corpus text
+    # the verify state is bounded by the CANDIDATE set, never the corpus:
+    # (1) collect candidate ids (near-dup edges — tiny vs the corpus),
+    # (2) one broadcast-filtered corpus pass computes each candidate's
+    #     sorted shingle array ONCE (an id recurring in many pairs is
+    #     never re-shingled),
+    # (3) pairs verify against the broadcast shingle dict with
+    #     np.intersect1d — no corpus text ever shuffles or broadcasts.
     cand_ids = set()
     for batch in pairs.iter_batches(batch_format="pandas"):
         cand_ids.update(batch["a"])
         cand_ids.update(batch["b"])
     ids_ref = ray.put(cand_ids)
 
-    def cand_texts(b: pd.DataFrame) -> pd.DataFrame:
+    def cand_shingles(b: pd.DataFrame) -> pd.DataFrame:
         keep = b[id_col].isin(get_broadcast(ids_ref))
-        return pd.DataFrame({"id": b[id_col][keep], "text": b[text_col][keep]})
+        sel = b[keep]
+        doc_idx, h = batch_shingle_hashes(sel[text_col].tolist(), k)
+        order = np.lexsort((h, doc_idx))
+        di, hh = doc_idx[order], h[order]
+        uniq = np.ones(len(di), bool)
+        uniq[1:] = (di[1:] != di[:-1]) | (hh[1:] != hh[:-1])
+        di, hh = di[uniq], hh[uniq]
+        bounds = np.searchsorted(di, np.arange(len(sel) + 1))
+        return pd.DataFrame(
+            {
+                "id": sel[id_col].to_numpy(),
+                "sh": [
+                    hh[bounds[i]:bounds[i + 1]].tobytes()
+                    for i in range(len(sel))
+                ],
+            }
+        )
 
-    texts = ds.map_batches(cand_texts, batch_format="pandas").materialize()
-    text_a = texts.map_batches(
-        lambda b: pd.DataFrame({"a": b["id"], "text_a": b["text"]}),
-        batch_format="pandas",
-    )
-    text_b = texts.map_batches(
-        lambda b: pd.DataFrame({"b": b["id"], "text_b": b["text"]}),
-        batch_format="pandas",
-    )
-    joined = copartition_join(pairs, text_a, "a", ["a", "b"], ["a", "text_a"])
-    joined = copartition_join(
-        joined, text_b, "b", ["a", "b", "text_a"], ["b", "text_b"]
-    )
+    sh_df = ds.map_batches(cand_shingles, batch_format="pandas").to_pandas()
+    sh_ref = ray.put(dict(zip(sh_df["id"], sh_df["sh"])))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = np.fromiter(
-            (
-                ngram_jaccard(str(ta), str(tb)) >= threshold
-                for ta, tb in zip(batch["text_a"], batch["text_b"])
-            ),
-            dtype=bool,
-            count=len(batch),
-        )
+        sh_map = get_broadcast(sh_ref)
+        keep = np.zeros(len(batch), bool)
+        for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
+            sa = np.frombuffer(sh_map.get(a, b""), dtype=np.uint64)
+            sb = np.frombuffer(sh_map.get(b, b""), dtype=np.uint64)
+            union = len(sa) + len(sb)
+            if union == 0:
+                keep[i] = True
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            keep[i] = inter / (union - inter) >= threshold
         return batch[keep][["a", "b"]]
 
-    verified = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    verified = pairs.map_batches(verify, batch_format="pandas").to_pandas()
     if "a" not in verified.columns:  # all-empty blocks carry no schema
         verified = pd.DataFrame({"a": [], "b": []})
     # min-label propagation on the driver: candidate graph is tiny

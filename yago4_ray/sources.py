@@ -172,9 +172,13 @@ class NTriplesGzDatasink(Datasink):
     With `lineage` set, a checkpoint manifest is committed on completion
     (yago4_ray.checkpoint)."""
 
-    def __init__(self, path: str, lineage: str | None = None):
+    def __init__(self, path: str, lineage: str | None = None,
+                 extension: str = ".nt.gz"):
         self.path = path
         self.lineage = lineage
+        # RDF* (annotated) outputs use ".ntx.gz" like the reference's
+        # yago-wd-annotated-facts.ntx.gz (plan.rs:170)
+        self.extension = extension
         self._start = None
 
     def on_write_start(self):
@@ -196,7 +200,7 @@ class NTriplesGzDatasink(Datasink):
 
     def write(self, blocks, ctx):
         idx = ctx.task_idx
-        out = os.path.join(self.path, f"part-{idx:05d}.nt.gz")
+        out = os.path.join(self.path, f"part-{idx:05d}{self.extension}")
         tmp = out + ".tmp"
         with gzip.open(tmp, "wt", encoding="utf-8", compresslevel=1) as f:
             for block in blocks:
@@ -226,7 +230,8 @@ def _clear_stale_parts(path: str) -> None:
     different inputs may produce FEWER parts than a previous run left
     behind, and stale parts would be picked up by the fresh manifest."""
     for f in os.listdir(path):
-        if f.endswith(".nt.gz") or f.endswith(".nt.gz.tmp") or f.startswith("_MANIFEST"):
+        if (f.endswith(".nt.gz") or f.endswith(".ntx.gz")
+                or f.endswith(".gz.tmp") or f.startswith("_MANIFEST")):
             os.remove(os.path.join(path, f))
 
 
@@ -328,7 +333,8 @@ class MultiNTriplesGzDatasink(Datasink):
 
 
 def write_ntriples(
-    ds: Dataset, path: str, sort: bool = True, lineage: str | None = None
+    ds: Dataset, path: str, sort: bool = True, lineage: str | None = None,
+    extension: str = ".nt.gz",
 ) -> None:
     """Deterministic N-Triples output: subject-sorted partitions (our
     addition over the reference's unordered HashMap output — SURVEY
@@ -342,7 +348,7 @@ def write_ntriples(
             if c in cols
         ]
         ds = ds.sort(keys)
-    ds.write_datasink(NTriplesGzDatasink(path, lineage=lineage))
+    ds.write_datasink(NTriplesGzDatasink(path, lineage=lineage, extension=extension))
 
 
 # ---------------------------------------------------------------------------
