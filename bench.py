@@ -56,6 +56,10 @@ def run_bench() -> dict:
 
     sf = _sf_tag(SF_DIR)
     n_entities = {"sf0.001": 600, "sf0.01": 2500, "sf0.1": 120000}.get(sf, 2500)
+    # larger-than-sf0.1 scaling runs: override the synthetic KG size
+    if os.environ.get("GRAFT_N_ENTITIES"):
+        n_entities = int(os.environ["GRAFT_N_ENTITIES"])
+        sf = f"{sf}+n{n_entities}"
 
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
