@@ -109,3 +109,25 @@ def test_string_name():
         T.string_name(["<http://schema.org/birthDate>", f"<{T.XSD}date>"])
         == "schema-birthDate-xsd-date"
     )
+
+
+def test_fmt_double_rust_display_semantics():
+    """xsd:double canonicalization matches the reference's Rust f64
+    Display serialization (model.rs:117-135, 244-248): positional
+    notation, shortest digits, NaN string-equal (model.rs:159-207)."""
+    from yago4_ray.terms import XSD_DOUBLE, fmt_double, typed_literal
+
+    assert fmt_double(1.0) == "1"
+    assert fmt_double(1.5) == "1.5"
+    assert fmt_double(1e30) == "1" + "0" * 30
+    assert fmt_double(1e-7) == "0.0000001"
+    assert fmt_double(-0.0) == "-0"
+    assert fmt_double(float("nan")) == "NaN"
+    # distinct lexical forms of one double value dedup to ONE canonical
+    # term, like the reference's parse-time f64 normalization
+    assert (
+        typed_literal("1.0E0", XSD_DOUBLE)
+        == typed_literal("1", XSD_DOUBLE)
+        == '"1"^^<http://www.w3.org/2001/XMLSchema#double>'
+    )
+    assert typed_literal("NaN", XSD_DOUBLE) == typed_literal("nan", XSD_DOUBLE)

@@ -18,23 +18,22 @@ verification when a collision exists (never silently wrong).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
-def _hash64(value: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(), "little"
-    )
-
-
 def _hash_series(values) -> np.ndarray:
-    return np.fromiter(
-        (_hash64(v) for v in values), dtype=np.uint64, count=len(values)
-    )
+    """Vectorized 64-bit string hashing (pandas siphash — C kernel,
+    process-independent). A per-string Python blake2b loop here cost
+    seconds per million keys at construction AND per-batch lookup."""
+    if not isinstance(values, pd.Series):
+        values = pd.Series(values, dtype=object)
+    return pd.util.hash_pandas_object(values, index=False).to_numpy()
+
+
+def _hash64(value: str) -> int:
+    return int(_hash_series([value])[0])
 
 
 class HashedSet:

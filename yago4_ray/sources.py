@@ -81,20 +81,34 @@ def write_statement_store(
 
         ds = distinct_rows(ds, ["subject", "predicate", "object"])
 
+    import zlib
+
     def add_key(batch: pa.Table) -> pa.Table:
-        keys = pa.array(
-            [predicate_key(p) for p in batch["predicate"].to_pylist()],
-            pa.string(),
+        # per-DISTINCT-predicate key/part computation (a batch holds few
+        # distinct predicates); blocks stay Arrow so the part shuffle
+        # ships zero-copy buffers, not pickled pandas frames
+        preds = batch["predicate"].to_pylist()
+        distinct = {}
+        for p in preds:
+            if p not in distinct:
+                key = predicate_key(p)
+                distinct[p] = (key, zlib.crc32(key.encode()) % num_parts)
+        keys = pa.array([distinct[p][0] for p in preds], pa.string())
+        parts = pa.array([distinct[p][1] for p in preds], pa.int64())
+        return batch.append_column("pred_key", keys).append_column(
+            "__part", parts
         )
-        return batch.append_column("pred_key", keys)
 
-    from .joins import partitioned_group_apply
-
-    clustered = partitioned_group_apply(
-        ds.map_batches(add_key, batch_format="pyarrow"),
-        ["pred_key"],
-        lambda pdf: pdf.sort_values(["predicate", "subject", "object"]),
-        num_parts=num_parts,
+    clustered = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda t: t.sort_by(
+                [("predicate", "ascending"), ("subject", "ascending"),
+                 ("object", "ascending")]
+            ).drop_columns(["__part"]),
+            batch_format="pyarrow",
+        )
     )
     clustered.write_parquet(root, partition_cols=["pred_key"])
 

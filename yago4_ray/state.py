@@ -592,8 +592,9 @@ def build_shape_instances(
 
     result = resolved.to_pandas()
     shape_instances: dict[str, set[str]] = {t: set() for t in shape_targets}
-    for shape, instance in zip(result["shape"], result["instance"]):
-        shape_instances.setdefault(shape, set()).add(instance)
+    # one grouped pass (not a per-row Python loop — instance-scale)
+    for shape, grp in result.groupby("shape")["instance"]:
+        shape_instances[shape] = set(grp)
     for shape, instances in shape_instances.items():
         stats.set_local("Instances of a shape", shape, len(instances))
     return shape_instances, resolved

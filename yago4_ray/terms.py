@@ -253,16 +253,24 @@ def decimal_literal(lexical: str) -> str:
 
 
 def fmt_double(value: float) -> str:
-    """Deterministic float formatting: shortest round-trip repr, integral
-    values without the trailing '.0' (so 1.0 → '1', 1.5 → '1.5')."""
+    """Deterministic float formatting matching Rust's f64 Display (the
+    reference serializes doubles with `{}`, model.rs:244-248): shortest
+    round-trip digits in POSITIONAL notation (never exponent form), no
+    trailing '.0' (1.0 → '1', 1e30 → '1000…0', 1e-7 → '0.0000001'),
+    NaN → 'NaN' (string-equal, so NaN values dedup like the reference's
+    NaN==NaN Double ordering, model.rs:159-207)."""
     if value != value:  # NaN
         return "NaN"
     if value in (float("inf"), float("-inf")):
         return "inf" if value > 0 else "-inf"
     r = repr(float(value))
-    if r.endswith(".0"):
-        r = r[:-2]
-    return r
+    if "e" in r or "E" in r:
+        from decimal import Decimal
+
+        r = format(Decimal(r), "f")
+    if "." in r:
+        r = r.rstrip("0").rstrip(".")
+    return r or "0"
 
 
 def double_literal(value: float) -> str:
