@@ -40,12 +40,21 @@ class HashedSet:
     """Broadcastable membership set over canonical term strings."""
 
     def __init__(self, values):
-        values = list(values)
-        hashes = np.unique(_hash_series(values)) if values else np.empty(0, np.uint64)
-        # uniqueness of hashes over distinct keys
-        self._collision_free = len(hashes) == len(set(values))
+        series = (
+            values
+            if isinstance(values, pd.Series)
+            else pd.Series(list(values), dtype=object)
+        )
+        if len(series):
+            hashes = np.unique(_hash_series(series))
+            # uniqueness of hashes over distinct keys (nunique is the
+            # C-hashtable count — no Python set materialization)
+            self._collision_free = len(hashes) == series.nunique()
+        else:
+            hashes = np.empty(0, np.uint64)
+            self._collision_free = True
         self.hashes = hashes
-        self._fallback = None if self._collision_free else frozenset(values)
+        self._fallback = None if self._collision_free else frozenset(series)
 
     def __len__(self):
         return len(self.hashes)

@@ -183,16 +183,17 @@ def build_clean_maps(root: str, state: BuildState, stats: Stats) -> dict:
     return maps
 
 
-def best_rank_statements(root: str) -> set[str]:
+def best_rank_statements(root: str) -> pd.Series:
     """Statement ids typed wikibase:BestRank (M16/J6) — broadcast-path
-    form. The distributed path joins against build_dist.best_rank_ds
-    instead (state.distributed=True)."""
+    form, returned as a Series (HashedSet consumes it without a Python
+    set pass; statement ids are store-unique). The distributed path
+    joins against build_dist.best_rank_ds instead."""
     ds = scan_predicate(root, T.RDF_TYPE)
     df = ds.map_batches(
         lambda b: b[b["object"] == T.WIKIBASE_BEST_RANK][["subject"]],
         batch_format="pandas",
     ).to_pandas()
-    return set(df["subject"])
+    return df["subject"]
 
 
 # ---------------------------------------------------------------------------

@@ -245,55 +245,76 @@ def build_value_maps(
         # object_for_subject_predicate takes the first hit
         pdf = pdf.drop_duplicates(["subject", "predicate"])
         wide = pdf.pivot(index="subject", columns="predicate", values="object")
-        cols = {p: wide[p] if p in wide.columns else None for p in ALL_VALUE_PREDICATES}
+        empty = pd.Series(index=wide.index, dtype=object)
+
+        def col(p):
+            return wide[p] if p in wide.columns else empty
+
         out = {"family": [], "value_node": [], "object": [], "extras": []}
 
-        def emit(family, node, result):
-            if result is None:
-                return
-            obj, extras = result if isinstance(result, tuple) else (result, [])
-            out["family"].append(family)
-            out["value_node"].append(node)
-            out["object"].append(obj)
-            out["extras"].append(json.dumps(extras) if extras else "")
+        def emit_rows(family, nodes, results):
+            for node, res in zip(nodes, results):
+                if res is None:
+                    continue
+                obj, extras = res if isinstance(res, tuple) else (res, [])
+                out["family"].append(family)
+                out["value_node"].append(node)
+                out["object"].append(obj)
+                out["extras"].append(json.dumps(extras) if extras else "")
 
-        def col(p, node):
-            series = cols[p]
-            if series is None:
-                return None
-            v = series.get(node)
-            return None if (v is None or v != v) else v
-
-        for node in wide.index:
-            tv = col(T.WIKIBASE_TIME_VALUE, node)
-            if tv is not None:
-                tp = col(T.WIKIBASE_TIME_PRECISION, node)
-                tc = col(T.WIKIBASE_TIME_CALENDAR_MODEL, node)
-                if tp is not None and tc is not None:
-                    emit("time", node, convert_time(tv, tp, tc))
-            lat = col(T.WIKIBASE_GEO_LATITUDE, node)
-            if lat is not None:
-                lon = col(T.WIKIBASE_GEO_LONGITUDE, node)
-                gp = col(T.WIKIBASE_GEO_PRECISION, node)
-                gg = col(T.WIKIBASE_GEO_GLOBE, node)
-                if lon is not None and gp is not None and gg is not None:
-                    emit(
-                        "coordinates", node,
-                        convert_globe_coordinates(lat, lon, gp, gg),
-                    )
-            amount = col(T.WIKIBASE_QUANTITY_AMOUNT, node)
-            unit = col(T.WIKIBASE_QUANTITY_UNIT, node)
-            if amount is not None and unit is not None:
-                emit("duration", node, convert_duration_quantity(amount, unit))
-                emit("integer", node, convert_integer_quantity(amount, unit))
-                lower = col(T.WIKIBASE_QUANTITY_LOWER_BOUND, node)
-                upper = col(T.WIKIBASE_QUANTITY_UPPER_BOUND, node)
-                unit_yago = uri_mapping.get(unit)
-                if lower is not None and upper is not None and unit_yago is not None:
-                    emit(
-                        "quantity", node,
-                        convert_quantity(node, unit_yago, amount, lower, upper),
-                    )
+        # family masks are vectorized; the scalar converters run only on
+        # their own family's candidate rows (zip over aligned arrays —
+        # no per-node column lookups)
+        tv, tp, tc = (col(T.WIKIBASE_TIME_VALUE), col(T.WIKIBASE_TIME_PRECISION),
+                      col(T.WIKIBASE_TIME_CALENDAR_MODEL))
+        m = tv.notna() & tp.notna() & tc.notna()
+        if m.any():
+            emit_rows(
+                "time", wide.index[m],
+                [convert_time(v, p, c) for v, p, c in zip(tv[m], tp[m], tc[m])],
+            )
+        lat, lon = col(T.WIKIBASE_GEO_LATITUDE), col(T.WIKIBASE_GEO_LONGITUDE)
+        gp, gg = col(T.WIKIBASE_GEO_PRECISION), col(T.WIKIBASE_GEO_GLOBE)
+        m = lat.notna() & lon.notna() & gp.notna() & gg.notna()
+        if m.any():
+            emit_rows(
+                "coordinates", wide.index[m],
+                [
+                    convert_globe_coordinates(a, o, p, g)
+                    for a, o, p, g in zip(lat[m], lon[m], gp[m], gg[m])
+                ],
+            )
+        amount, unit = col(T.WIKIBASE_QUANTITY_AMOUNT), col(T.WIKIBASE_QUANTITY_UNIT)
+        lower, upper = (col(T.WIKIBASE_QUANTITY_LOWER_BOUND),
+                        col(T.WIKIBASE_QUANTITY_UPPER_BOUND))
+        m = amount.notna() & unit.notna()
+        if m.any():
+            am, un = amount[m], unit[m]
+            emit_rows(
+                "duration", wide.index[m],
+                [convert_duration_quantity(a, u) for a, u in zip(am, un)],
+            )
+            emit_rows(
+                "integer", wide.index[m],
+                [convert_integer_quantity(a, u) for a, u in zip(am, un)],
+            )
+            # unit→YAGO lookup once per DISTINCT unit (units are
+            # class-graph scale)
+            unit_map = {u: uri_mapping.get(u) for u in un.unique()}
+            mq = m & lower.notna() & upper.notna() & unit.map(
+                lambda u: unit_map.get(u) is not None
+            ).fillna(False)
+            if mq.any():
+                emit_rows(
+                    "quantity", wide.index[mq],
+                    [
+                        convert_quantity(n, unit_map[u], a, lo, hi)
+                        for n, u, a, lo, hi in zip(
+                            wide.index[mq], unit[mq], amount[mq],
+                            lower[mq], upper[mq],
+                        )
+                    ],
+                )
         return pd.DataFrame(out)
 
     return partitioned_group_apply(ds, ["subject"], convert_part)

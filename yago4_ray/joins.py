@@ -207,19 +207,25 @@ def partitioned_group_apply(
     The part key hashes ALL key columns, so a skewed single column only
     skews if one exact key dominates — for that case raise num_parts or
     pre-salt (SURVEY §4 skew notes). `combine`, if given, runs per batch
-    before the shuffle (combiner-style pre-reduction)."""
+    before the shuffle (combiner-style pre-reduction).
 
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+    The exchange itself ships ARROW blocks: `add_part` emits pyarrow
+    (pandas `fn`/`combine` run per batch / per part only), because
+    Ray's sort shuffle over pandas object frames pickles every Python
+    string — measured 2× ingest time at 22M rows."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
         if combine is not None:
-            batch = combine(batch)
-        key = batch[key_columns[0]].astype(str)
+            batch = pa.Table.from_pandas(
+                combine(batch.to_pandas()), preserve_index=False
+            )
+        key = batch[key_columns[0]].to_pandas().astype(str)
         for c in key_columns[1:]:
-            key = key + _SEP + batch[c].astype(str)
-        batch = batch.copy()
-        batch["__part"] = (
+            key = key + _SEP + batch[c].to_pandas().astype(str)
+        part = (
             pd.util.hash_pandas_object(key, index=False).to_numpy() % num_parts
         ).astype("int64")
-        return batch
+        return batch.append_column("__part", pa.array(part, pa.int64()))
 
     def apply_part(part: pd.DataFrame) -> pd.DataFrame:
         if keep_part_column:
@@ -227,7 +233,7 @@ def partitioned_group_apply(
         return fn(part.drop(columns=["__part"]))
 
     return (
-        ds.map_batches(add_part, batch_format="pandas")
+        ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(apply_part, batch_format="pandas")
     )

@@ -231,8 +231,8 @@ def build_uri_mapping(
         mask = urls.str.startswith(ENWIKI_PREFIX)
         items_col = batch.loc[mask, "object"]
         titles = urls[mask].str.slice(len(ENWIKI_PREFIX))
-        simple = titles.map(
-            lambda t: "%" not in t and T.IPCHAR_OR_SPACE_RE.match(t) is not None
+        simple = (~titles.str.contains("%", regex=False)) & titles.str.match(
+            T.IPCHAR_OR_SPACE_RE
         )
         fast = "<" + T.YAGO_RESOURCE_PREFIX + titles.str.replace(" ", "_") + ">"
         uris = fast.where(
@@ -260,8 +260,8 @@ def build_uri_mapping(
         sub = sub[keep]
         qids = qids[keep]
         values = sub["object"].str.slice(1, -4)  # strip quotes + @en
-        simple = values.map(
-            lambda v: "\\" not in v and T.IPCHAR_OR_SPACE_RE.match(v) is not None
+        simple = (~values.str.contains("\\", regex=False)) & values.str.match(
+            T.IPCHAR_OR_SPACE_RE
         )
         encoded = values.str.replace(" ", "_").where(
             simple,
@@ -275,17 +275,29 @@ def build_uri_mapping(
     label_rows = labels.map_batches(label_candidates, batch_format="pandas")
 
     def merge_part(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized priority merge over complete item groups."""
+        """Vectorized priority merge over complete item groups: per
+        priority LEVEL ascending, uncovered items take their min uri
+        (C-speed isin/groupby — no Python sets, no 3-column sort)."""
         p0 = pdf[pdf["priority"] == 0].drop_duplicates("item")
         marked = pdf.loc[pdf["priority"] == 99, "item"]
-        marked_set = set(marked)
         cand = pdf[(pdf["priority"] > 0) & (pdf["priority"] < 99)]
         cand = cand[
-            cand["item"].isin(marked_set) & ~cand["item"].isin(set(p0["item"]))
+            cand["item"].isin(marked.to_numpy())
+            & ~cand["item"].isin(p0["item"].to_numpy())
         ]
-        cand = cand.sort_values(["item", "priority", "uri"]).drop_duplicates("item")
-        covered = set(p0["item"]) | set(cand["item"])
-        rest = marked[~marked.isin(covered)].drop_duplicates()
+        outs = [p0[["item", "uri"]]]
+        covered = p0["item"]
+        for pr in sorted(cand["priority"].unique()):
+            lvl = cand.loc[cand["priority"] == pr, ["item", "uri"]]
+            lvl = lvl[~lvl["item"].isin(covered.to_numpy())]
+            # min uri per item: one-column sort + hashtable dedup
+            # (groupby().min() on object strings loops per GROUP)
+            lvl = lvl.sort_values("uri", kind="stable").drop_duplicates(
+                "item", keep="first"
+            )
+            outs.append(lvl[["item", "uri"]])
+            covered = pd.concat([covered, lvl["item"]], ignore_index=True)
+        rest = marked[~marked.isin(covered.to_numpy())].drop_duplicates()
         # fallback _Q{id}: vectorized qid extraction
         qids = rest.str.extract(
             r"^<http://www\.wikidata\.org/entity/(Q[0-9]+)>$", expand=False
@@ -295,7 +307,7 @@ def build_uri_mapping(
             "<" + T.YAGO_RESOURCE_PREFIX + "_" + fallback["qid"] + ">"
         )
         return pd.concat(
-            [p0[["item", "uri"]], cand[["item", "uri"]], fallback[["item", "uri"]]],
+            outs + [fallback[["item", "uri"]]],
             ignore_index=True,
         )
 
