@@ -93,3 +93,51 @@ def test_extractor_unit():
     assert facts[0]["object"] == "<http://www.wikidata.org/entity/Q84>"
     assert "dateTime" in facts[1]["object"]
     assert media[0]["object"] == "commons://File:Ada.jpg"
+
+
+def test_vectorized_kernel_parity(corpus_dir):
+    """The vectorized __call__ must emit exactly the row-wise kernel's
+    rows (same multiset; text rows in span order before media rows),
+    including edge shapes: malformed span text, unknown surfaces,
+    unparseable datetimes, escape-needing strings."""
+    import pyarrow as pa
+
+    docs = pq.read_table(os.path.join(corpus_dir, "documents.parquet"))
+    dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
+    kinds = pid_value_kinds(Schema.open())
+    ex = MentionExtractor(dictionary, kinds)
+
+    # synthetic edge-case batch appended to real corpus rows
+    span_type = docs.schema.field("spans").type
+    known = dictionary["surface_form"][0].as_py()
+    edge = pa.table(
+        {
+            "doc_id": pa.array(["e1", "e2"], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        {"kind": "text", "text": "no pipes here", "media_ref": "", "offset": 0},
+                        {"kind": "text", "text": "a|b", "media_ref": "", "offset": 1},
+                        {"kind": "text", "text": "a|b|c|d", "media_ref": "", "offset": 2},
+                        {"kind": "text", "text": f"{known} | P569 | not-a-date", "media_ref": "", "offset": 3},
+                        {"kind": "text", "text": f"{known} | P569 | 1999-12-31T23:59:59Z", "media_ref": "", "offset": 4},
+                        {"kind": "text", "text": f'{known} | P1448 | quoted "name"\twith\\escapes', "media_ref": "", "offset": 5},
+                        {"kind": "media", "text": "", "media_ref": "", "offset": 6},
+                        {"kind": "media", "text": "", "media_ref": "img://x", "offset": 7},
+                        {"kind": "text", "text": "unknown surface | P569 | 1999-01-01T00:00:00+00:00", "media_ref": "", "offset": 8},
+                    ],
+                    None,
+                ],
+                span_type,
+            ),
+        }
+    )
+    for batch in [docs.slice(0, 200), edge]:
+        fast = ex(batch).to_pandas()
+        slow = ex._call_rowwise(batch).to_pandas()
+        fast_rows = list(map(tuple, fast.to_numpy()))
+        slow_rows = list(map(tuple, slow.to_numpy()))
+        assert fast_rows == slow_rows, (
+            f"n_fast={len(fast_rows)} n_slow={len(slow_rows)} "
+            f"first_diff={next((a, b) for a, b in zip(fast_rows, slow_rows) if a != b) if len(fast_rows) == len(slow_rows) else 'len'}"
+        )

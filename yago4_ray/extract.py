@@ -77,6 +77,100 @@ class MentionExtractor:
         for surface, qid, _ in rows:
             self.linker.setdefault(surface, qid)
         self.value_kinds = value_kinds
+        # Arrow-side copies for the vectorized kernel: index_in against
+        # these is a C++ hash lookup (built once per actor)
+        self._surface_arr = pa.array(list(self.linker), pa.string())
+        self._qid_arr = pa.array(list(self.linker.values()), pa.string())
+        self._kind_pids = pa.array(list(value_kinds), pa.string())
+        self._kind_vals = pa.array(list(value_kinds.values()), pa.string())
+
+    # fast-path datetime shapes: naive / Z / +00:00 — everything the
+    # canonicalizer maps to "<lexical>+00:00" by pure string ops
+    _DT_NAIVE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"
+    _DT_Z = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$"
+    _DT_UTC = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\+00:00$"
+    _NEEDS_ESCAPE = r'[\\"\n\r\t]'
+
+    def _object_terms(self, pid: pa.Array, value: pa.Array) -> pa.Array:
+        """Vectorized `_object_term` over aligned (pid, value) arrays;
+        null marks a dropped row. All common lexical forms stay in
+        Arrow C++ kernels (RE2 regex, element-wise joins); only rare
+        shapes (escape-needing strings, exotic datetimes) fall back to
+        the scalar kernel, per offending row."""
+        import numpy as np
+
+        kind_idx = pc.index_in(pid, value_set=self._kind_pids)
+        kind = pc.fill_null(pc.take(self._kind_vals, kind_idx), "string")
+        out = np.full(len(value), None, dtype=object)
+
+        def scatter(mask: pa.Array, values: pa.Array) -> None:
+            idx = np.flatnonzero(mask)
+            if len(idx):
+                out[idx] = np.asarray(values, dtype=object)
+
+        ent = pc.equal(kind, "entity")
+        if pc.any(ent).as_py():
+            v = pc.filter(value, ent)
+            qid = pc.take(self._qid_arr, pc.index_in(v, value_set=self._surface_arr))
+            scatter(ent, pc.binary_join_element_wise("<" + T.WD, qid, ">", ""))
+
+        dt = pc.equal(kind, "datetime")
+        if pc.any(dt).as_py():
+            v = pc.filter(value, dt)
+            naive = pc.match_substring_regex(v, self._DT_NAIVE)
+            zulu = pc.match_substring_regex(v, self._DT_Z)
+            utc = pc.match_substring_regex(v, self._DT_UTC)
+            lex = pc.if_else(
+                utc,
+                v,
+                pc.binary_join_element_wise(
+                    pc.utf8_rtrim(v, "Z"), "+00:00", ""
+                ),
+            )
+            fast = pc.binary_join_element_wise(
+                '"', lex, '"^^<' + T.XSD_DATE_TIME + ">", ""
+            )
+            anyfast = pc.or_(pc.or_(naive, zulu), utc)
+            res = fast.to_numpy(zero_copy_only=False).astype(object)
+            slow_idx = np.flatnonzero(pc.invert(anyfast))
+            if len(slow_idx):
+                vp = v.to_pylist()
+                for i in slow_idx:
+                    try:
+                        res[i] = T.datetime_literal(vp[i])
+                    except ValueError:
+                        res[i] = None
+            scatter(dt, res)
+
+        dec = pc.equal(kind, "decimal")
+        if pc.any(dec).as_py():
+            v = pc.filter(value, dec)
+            scatter(
+                dec,
+                pc.binary_join_element_wise(
+                    '"', v, '"^^<' + T.XSD_DECIMAL + ">", ""
+                ),
+            )
+
+        for k, fallback in (
+            ("anyuri", lambda s: T.typed_literal(s, T.XSD_ANY_URI)),
+            ("string", T.string_literal),
+        ):
+            km = pc.equal(kind, k)
+            if not pc.any(km).as_py():
+                continue
+            v = pc.filter(value, km)
+            suffix = '"^^<' + T.XSD_ANY_URI + ">" if k == "anyuri" else '"'
+            plain = pc.binary_join_element_wise('"', v, suffix, "")
+            needs = pc.match_substring_regex(v, self._NEEDS_ESCAPE)
+            res = plain.to_numpy(zero_copy_only=False).astype(object)
+            esc_idx = np.flatnonzero(needs)
+            if len(esc_idx):
+                vp = v.to_pylist()
+                for i in esc_idx:
+                    res[i] = fallback(vp[i])
+            scatter(km, res)
+        return pa.array(out, pa.string())
 
     def _object_term(self, pid: str, text: str) -> str | None:
         kind = self.value_kinds.get(pid, "string")
@@ -95,6 +189,87 @@ class MentionExtractor:
         return T.string_literal(text)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized span scan, pure Arrow C++ kernels end-to-end:
+        list-flatten, substring counts, RE2 matches, `index_in`
+        hash-lookups against the per-actor dictionary, element-wise
+        string joins. Byte-identical output (and row order) to
+        `_call_rowwise`, gated by test_extract's parity test. A pandas
+        str-ops variant measured 3x SLOWER than the row loop; the Arrow
+        kernel beats the loop ~10x (PERF_NOTES)."""
+        import numpy as np
+
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        doc_of_span = pc.take(doc_ids, parent)
+        kind = flat.field("kind")
+        text = pc.fill_null(flat.field("text"), "")
+        media_ref = pc.fill_null(flat.field("media_ref"), "")
+
+        is_media = pc.equal(kind, "media")
+        media_keep = pc.and_(is_media, pc.not_equal(media_ref, ""))
+
+        # text spans: exactly two '|' separators -> (surface, pid, value)
+        tmask = pc.and_(
+            pc.invert(is_media), pc.equal(pc.count_substring(text, "|"), 2)
+        )
+        t_text = pc.filter(text, tmask)
+        t_doc = pc.filter(doc_of_span, tmask)
+        if len(t_text):
+            parts = pc.split_pattern(t_text, "|")
+            surface = pc.utf8_trim_whitespace(pc.list_element(parts, 0))
+            pid = pc.utf8_trim_whitespace(pc.list_element(parts, 1))
+            value = pc.utf8_trim_whitespace(pc.list_element(parts, 2))
+            qid = pc.take(
+                self._qid_arr, pc.index_in(surface, value_set=self._surface_arr)
+            )
+            linked = pc.is_valid(qid)
+            pid, value, qid, t_doc = (
+                pc.filter(pid, linked),
+                pc.filter(value, linked),
+                pc.filter(qid, linked),
+                pc.filter(t_doc, linked),
+            )
+            obj = self._object_terms(pid, value)
+            ok = pc.is_valid(obj)
+            out_doc = pc.filter(t_doc, ok)
+            out_subj = pc.binary_join_element_wise(
+                "<" + T.WD, pc.filter(qid, ok), ">", ""
+            )
+            out_pred = pc.binary_join_element_wise(
+                "<" + T.WDT, pc.filter(pid, ok), ">", ""
+            )
+            out_obj = pc.filter(obj, ok)
+        else:
+            out_doc = out_subj = out_pred = out_obj = pa.array([], pa.string())
+
+        # media candidates ride along in the same output table with an
+        # empty predicate marker; split downstream with a cheap filter
+        m_doc = pc.filter(doc_of_span, media_keep)
+        m_ref = pc.filter(media_ref, media_keep)
+        blanks = pa.array([""] * len(m_doc), pa.string())
+
+        def cat(a, b):
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+            return pa.concat_arrays([a.cast(pa.string()), b.cast(pa.string())])
+
+        return pa.table(
+            {
+                "doc_id": cat(out_doc, m_doc),
+                "subject": cat(out_subj, blanks),
+                "predicate": cat(out_pred, blanks),
+                "object": cat(out_obj, m_ref),
+            }
+        )
+
+    # exact-output reference kernel (kept for the parity test)
+    def _call_rowwise(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
         out = {"doc_id": [], "subject": [], "predicate": [], "object": []}
@@ -122,8 +297,6 @@ class MentionExtractor:
                 out["subject"].append(T.wd(subject_qid))
                 out["predicate"].append(T.iri(f"{T.WDT}{pid}"))
                 out["object"].append(obj)
-        # media candidates ride along in the same output table with an
-        # empty predicate marker; split downstream with a cheap filter
         n_media = len(media["doc_id"])
         out["doc_id"].extend(media["doc_id"])
         out["subject"].extend([""] * n_media)
@@ -137,12 +310,19 @@ def extract_statements(
     dictionary: pa.Table,
     schema: Schema | None = None,
     concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
 ) -> tuple[Dataset, Dataset]:
     """documents → (statement rows, media-candidate rows).
 
     The extractor is an actor pool (`concurrency=N`): the dictionary is
     built once per actor. Returns two Datasets sharing one upstream pass.
+
+    batch_size=None (whole input block per batch) is deliberate: the
+    Arrow kernel's throughput scales with batch size (35 k docs/s at
+    1024 rows → 190 k docs/s at a 16 k-row batch — fixed per-kernel-call
+    cost, PERF_NOTES); parallelism comes from the block count, not the
+    batch size. Interleaved docs with large media payloads should pass
+    an explicit batch_size to bound actor heap instead.
     """
     schema = schema or Schema.open()
     kinds = pid_value_kinds(schema)

@@ -839,12 +839,14 @@ def media_decode_features(sf_dir: str):
     docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
     dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
     _, media = extract_statements(docs, dictionary, concurrency=2)
-    refs = sorted(set(media.to_pandas()["media_ref"]))
-    table = media_table_from_refs(refs)
-    return decode_media(
-        ray.data.from_arrow(table).map_batches(lambda t: t, batch_format="pyarrow"),
-        decoder="fake",
-    ).drop_columns(["features"])
+    from .joins import distinct_rows
+
+    refs = distinct_rows(media.select_columns(["media_ref"]), ["media_ref"])
+    media_rows = refs.map_batches(
+        lambda t: media_table_from_refs(sorted(t["media_ref"].to_pylist())),
+        batch_format="pyarrow",
+    )
+    return decode_media(media_rows, decoder="fake").drop_columns(["features"])
 
 
 QUERIES = {
