@@ -22,9 +22,13 @@ def _init_ray(num_cpus: int | None) -> bool:
 
     owned = not ray.is_initialized()
     if owned:
+        # RAY_ADDRESS=local (the sandbox default) starts a local session;
+        # under `ray job submit` on a real cluster RAY_ADDRESS points at
+        # the running cluster and num_cpus must not constrain it
+        address = os.environ.get("RAY_ADDRESS", "local")
         ray.init(
-            address="local",
-            num_cpus=num_cpus,
+            address=address,
+            num_cpus=num_cpus if address == "local" else None,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",

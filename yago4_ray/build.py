@@ -183,6 +183,24 @@ def build_clean_maps(root: str, state: BuildState, stats: Stats) -> dict:
     return maps
 
 
+def build_clean_hmms(root: str, state: BuildState, stats: Stats) -> dict:
+    """HashedMultiMaps per clean family, straight off the clean-values
+    frame columns — skips the intermediate per-row Python dicts of
+    build_clean_maps AND HashedMultiMap's dict-consuming constructor
+    (each cost seconds per million value nodes on the driver)."""
+    from .broadcast import HashedMultiMap
+
+    df = build_clean_values_ds(root, state).to_pandas()
+    out: dict[str, "HashedMultiMap"] = {}
+    for name in ("time", "coordinates", "duration", "integer", "quantity"):
+        fam = df[df["family"] == name]
+        out[name] = HashedMultiMap.from_columns(
+            fam["value_node"], fam["object"], fam["extras"]
+        )
+        stats.set_local("Cleaned complex type", name, len(out[name]))
+    return out
+
+
 def best_rank_statements(root: str) -> pd.Series:
     """Statement ids typed wikibase:BestRank (M16/J6) — broadcast-path
     form, returned as a Series (HashedSet consumes it without a Python
@@ -194,6 +212,28 @@ def best_rank_statements(root: str) -> pd.Series:
         batch_format="pandas",
     ).to_pandas()
     return df["subject"]
+
+
+def best_rank_hashed_set(root: str):
+    """BestRank membership as a HashedSet whose 64-bit key hashes are
+    computed IN the scan tasks — the driver collects 8-byte hashes
+    (~26 MB at full Wikidata's ~3 G statements per 100 M BestRank ids),
+    never the id strings. Store key-uniqueness makes the ids distinct,
+    so the collision check needs only the row count; the (never yet
+    observed) collision falls back to the string path."""
+    from .broadcast import HashedSet, _hash_series
+
+    ds = scan_predicate(root, T.RDF_TYPE)
+
+    def h(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["object"] == T.WIKIBASE_BEST_RANK]["subject"]
+        return pd.DataFrame({"h": _hash_series(sel)})
+
+    hashes = ds.map_batches(h, batch_format="pandas").to_pandas()["h"]
+    try:
+        return HashedSet.from_prehashed(hashes.to_numpy(), len(hashes))
+    except ValueError:
+        return HashedSet(best_rank_statements(root))
 
 
 # ---------------------------------------------------------------------------
@@ -467,17 +507,22 @@ def build_facts(
             num_partitions,
         )
     else:
-        clean_maps = build_clean_maps(root, state, state.stats)
-        from .broadcast import HashedMultiMap, HashedSet
+        # the four broadcast-state builds are independent: the two
+        # cluster-bound ones (clean values, best-rank hashes) overlap
+        # the driver-bound packings in threads (cf. state.build_state)
+        import concurrent.futures as _cf
 
-        refs = {
-            "uri_mapping": state.packed_ref("uri_mapping"),
-            "shape_instances": state.packed_ref("shape_instances"),
-            "best_rank": ray.put(HashedSet(best_rank_statements(root))),
-            "clean_maps": ray.put(
-                {family: HashedMultiMap(m) for family, m in clean_maps.items()}
-            ),
-        }
+        with _cf.ThreadPoolExecutor(max_workers=4) as _pool:
+            f_clean = _pool.submit(build_clean_hmms, root, state, state.stats)
+            f_rank = _pool.submit(best_rank_hashed_set, root)
+            f_uri = _pool.submit(state.packed_ref, "uri_mapping")
+            f_si = _pool.submit(state.packed_ref, "shape_instances")
+            refs = {
+                "uri_mapping": f_uri.result(),
+                "shape_instances": f_si.result(),
+                "best_rank": ray.put(f_rank.result()),
+                "clean_maps": ray.put(f_clean.result()),
+            }
 
         subjects = _subject_side(root, configs, refs)
         objects = _object_side(root, configs, refs, T.PS_PREFIX, T.PSV_PREFIX)

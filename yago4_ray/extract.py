@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 from . import terms as T
@@ -59,30 +60,57 @@ def pid_value_kinds(schema: Schema) -> dict[str, str]:
     return kinds
 
 
+def prepare_linker(dictionary: pa.Table) -> pa.Table:
+    """Resolve the surface-form dictionary to its first-wins form ONCE
+    (driver-side): per surface, the lowest-priority registration wins,
+    ties broken by table order (the reference linker semantics). The
+    prepared (surface_form, qid) table ships to every extractor actor
+    through the object store instead of each actor re-running the
+    multi-million-row resolution in __init__ (measured: the per-actor
+    Python sort+loop dominated extraction wall time at 1.2 M docs)."""
+    df = dictionary.select(["surface_form", "qid", "priority"]).to_pandas()
+    df = df.sort_values("priority", kind="stable").drop_duplicates(
+        "surface_form", keep="first"
+    )
+    return pa.table(
+        {
+            "surface_form": pa.array(df["surface_form"], pa.string()),
+            "qid": pa.array(df["qid"], pa.string()),
+        }
+    )
+
+
 class MentionExtractor:
-    """Actor-pool stage: __init__ once per actor (dictionary build),
+    """Actor-pool stage: __init__ once per actor (dictionary load),
     __call__ per Arrow batch (vectorized span scan + linking)."""
 
-    def __init__(self, dictionary: pa.Table, value_kinds: dict[str, str]):
-        # surface form → qid, first (= highest-priority) registration wins
-        self.linker: dict[str, str] = {}
-        rows = sorted(
-            zip(
-                dictionary["surface_form"].to_pylist(),
-                dictionary["qid"].to_pylist(),
-                dictionary["priority"].to_pylist(),
-            ),
-            key=lambda r: r[2],
-        )
-        for surface, qid, _ in rows:
-            self.linker.setdefault(surface, qid)
+    def __init__(self, dictionary, value_kinds: dict[str, str]):
+        # accept a raw (surface, qid, priority) dictionary table, a
+        # prepare_linker() table, or an ObjectRef to either — the ref
+        # path reads the prepared table ZERO-COPY from the object store
+        # (one shared copy per node, not one pickled copy per actor)
+        if isinstance(dictionary, ray.ObjectRef):
+            dictionary = ray.get(dictionary)
+        if "priority" in dictionary.column_names:
+            dictionary = prepare_linker(dictionary)
         self.value_kinds = value_kinds
-        # Arrow-side copies for the vectorized kernel: index_in against
-        # these is a C++ hash lookup (built once per actor)
-        self._surface_arr = pa.array(list(self.linker), pa.string())
-        self._qid_arr = pa.array(list(self.linker.values()), pa.string())
+        # Arrow-side dictionary: index_in against _surface_arr is a C++
+        # hash lookup; arrays arrive zero-copy from the object store
+        self._surface_arr = dictionary["surface_form"].combine_chunks()
+        self._qid_arr = dictionary["qid"].combine_chunks()
         self._kind_pids = pa.array(list(value_kinds), pa.string())
         self._kind_vals = pa.array(list(value_kinds.values()), pa.string())
+        self._linker: dict[str, str] | None = None
+
+    @property
+    def linker(self) -> dict[str, str]:
+        """surface → qid dict, built lazily (only the row-wise reference
+        kernel and unit tests touch it; the Arrow kernel never does)."""
+        if self._linker is None:
+            self._linker = dict(
+                zip(self._surface_arr.to_pylist(), self._qid_arr.to_pylist())
+            )
+        return self._linker
 
     # fast-path datetime shapes: naive / Z / +00:00 — everything the
     # canonicalizer maps to "<lexical>+00:00" by pure string ops
@@ -326,9 +354,12 @@ def extract_statements(
     """
     schema = schema or Schema.open()
     kinds = pid_value_kinds(schema)
+    if "priority" in dictionary.column_names:
+        dictionary = prepare_linker(dictionary)  # once, driver-side
+    dict_ref = ray.put(dictionary)  # actors read it zero-copy
     extracted = documents.map_batches(
         MentionExtractor,
-        fn_constructor_args=(dictionary, kinds),
+        fn_constructor_args=(dict_ref, kinds),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
