@@ -97,3 +97,43 @@ def test_shingles_stable(text):
     s1 = set(shingles(text).tolist())
     s2 = set(shingles(text).tolist())
     assert s1 == s2 and len(s1) > 0
+
+
+@settings(max_examples=30)
+@given(
+    st.lists(
+        st.text(min_size=1, max_size=40), min_size=1, max_size=200, unique=True
+    )
+)
+def test_prehashed_set_matches_string_set(keys):
+    """HashedSet.from_prehashed (hashes computed task-side) must answer
+    membership identically to the string-built HashedSet."""
+    import pandas as pd
+
+    from yago4_ray.broadcast import HashedSet, _hash_series
+
+    a = HashedSet(keys)
+    b = HashedSet.from_prehashed(_hash_series(keys), len(keys))
+    probes = pd.Series(keys + ["@@absent@@", "", "x" * 50], dtype=object)
+    assert (a.contains(probes) == b.contains(probes)).all()
+
+
+def test_multimap_from_columns_matches_dict():
+    import pandas as pd
+
+    from yago4_ray.broadcast import HashedMultiMap
+
+    mapping = {f"k{i}": (f"o{i}", f"e{i}" if i % 3 else "") for i in range(500)}
+    a = HashedMultiMap(mapping)
+    keys = pd.Series(list(mapping))
+    b = HashedMultiMap.from_columns(
+        keys,
+        pd.Series([mapping[k][0] for k in keys]),
+        pd.Series([mapping[k][1] for k in keys]),
+    )
+    probes = pd.Series(list(mapping) + ["missing1", "missing2"], dtype=object)
+    ao, ae = a.lookup(probes)
+    bo, be = b.lookup(probes)
+    assert list(ao) == list(bo) and list(ae) == list(be)
+    assert a.get("k7") == b.get("k7") == ("o7", "e7")
+    assert a.get("nope") is None and b.get("nope") is None
