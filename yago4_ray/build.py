@@ -732,13 +732,12 @@ def build_simple_types(state: BuildState) -> Dataset:
     """rdf:type triples straight from the shape-instances Dataset (ST3)
     — no driver-side row materialization at any scale."""
     inst = state.datasets.get("shape_instances")
-    if inst is None:  # state built without the dataset (tests only)
-        return _triples_ds(
-            [
-                (instance, T.RDF_TYPE, cls)
-                for cls, instances in state.shape_instances.items()
-                for instance in instances
-            ]
+    if inst is None:
+        # instance strings never transit the driver (shape_instances
+        # holds packed hash sets); the Dataset is the only string source
+        raise ValueError(
+            "BuildState.datasets['shape_instances'] required for "
+            "simple-types (state built by build_state always carries it)"
         )
     return inst.map_batches(
         lambda b: pd.DataFrame(

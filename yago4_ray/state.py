@@ -31,6 +31,7 @@ from collections import defaultdict
 from dataclasses import dataclass, field
 from urllib.parse import unquote
 
+import numpy as np
 import pandas as pd
 import ray
 from ray.data import Dataset
@@ -92,7 +93,10 @@ class BuildState:
     yago_classes: set[str]
     wd_to_yago_class_mapping: dict[str, list[str]]
     yago_super_class_of: dict[str, list[str]]
-    shape_instances: dict[str, set[str]]  # target class term → instance terms
+    # target class term → packed instance membership (HashedSet —
+    # 64-bit hashes collected from the cluster; instance strings never
+    # transit the driver, see build_shape_instances)
+    shape_instances: dict
     # distributed=True → the fact pipelines consume `datasets` via hash
     # joins (build_dist) instead of the packed broadcasts below; chosen
     # by build_state from state size / YAGO4_RAY_DISTRIBUTED_STATE=1
@@ -119,19 +123,20 @@ class BuildState:
             if name == "uri_mapping":
                 obj = HashedMap(self.uri_mapping)
             elif name == "shape_instances":
-                obj = {
-                    shape: HashedSet(instances)
-                    for shape, instances in self.shape_instances.items()
-                }
+                obj = self.shape_instances  # already packed HashedSets
             elif name == "things":
-                obj = HashedSet(self.things())
+                obj = self.things()
             else:
                 raise KeyError(name)
             self._refs[key] = ray.put(obj)
         return self._refs[key]
 
-    def things(self) -> set[str]:
-        return self.shape_instances.get(T.SCHEMA_THING, set())
+    def things(self):
+        from .broadcast import HashedSet
+
+        return self.shape_instances.get(
+            T.SCHEMA_THING, HashedSet([])
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -602,14 +607,33 @@ def build_shape_instances(
         combine=lambda pdf: pdf.drop_duplicates(["shape", "instance"]),
     ).materialize()  # consumed by simple-types + every distributed join
 
-    result = resolved.to_pandas()
-    shape_instances: dict[str, set[str]] = {t: set() for t in shape_targets}
-    # one grouped pass (not a per-row Python loop — instance-scale)
-    for shape, grp in result.groupby("shape")["instance"]:
-        shape_instances[shape] = set(grp)
-    for shape, instances in shape_instances.items():
-        stats.set_local("Instances of a shape", shape, len(instances))
-    return shape_instances, resolved
+    # collect (shape, 64-bit instance hash) — the driver receives 8-byte
+    # hashes, never the instance strings (resolve_part dedups
+    # (shape, instance) globally, so per-shape row counts are distinct-
+    # key counts and HashedSet.from_prehashed's collision check holds)
+    from .broadcast import HashedSet, _hash_series
+
+    hashed = resolved.map_batches(
+        lambda b: pd.DataFrame(
+            {"shape": b["shape"], "h": _hash_series(b["instance"])}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    packs: dict[str, HashedSet] = {
+        t: HashedSet.from_prehashed(np.empty(0, np.uint64), 0)
+        for t in shape_targets
+    }
+    try:
+        for shape, grp in hashed.groupby("shape")["h"]:
+            packs[shape] = HashedSet.from_prehashed(grp.to_numpy(), len(grp))
+    except ValueError:  # 64-bit collision: rebuild from the strings
+        result = resolved.to_pandas()
+        packs = {t: HashedSet([]) for t in shape_targets}
+        for shape, grp in result.groupby("shape")["instance"]:
+            packs[shape] = HashedSet(grp)
+    for shape, pack in packs.items():
+        stats.set_local("Instances of a shape", shape, len(pack))
+    return packs, resolved
 
 
 # ---------------------------------------------------------------------------
