@@ -113,6 +113,44 @@ def test_text_stats(ray_session):
     assert (out["n_tokens"] > 0).all()
 
 
+def test_text_stats_batch_kernel_parity():
+    """The Arrow/numpy batch kernel must agree with the per-row Python
+    reference kernels on realistic corpus text AND the known RE2/Python
+    divergence zones (Unicode whitespace, accented words, case folds)."""
+    from yago4_ray.dataops.textstats import (
+        bpe_ish_token_count,
+        detect_language,
+        fingerprint64,
+        quality_score,
+        stats_frame,
+        token_count,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = list(docs["text"].astype(str).head(200))
+    texts += [
+        "",
+        "   ",
+        "short",
+        "tabs\tand\nnewlines\r\nhere",
+        "non breaking spaces",
+        "Élan café naïve Zürich ÿ × ÷ Ÿ İstanbul",
+        "punct!!! soup??? ###$$$ %%%",
+        "mixed 123 abc42 _under_score_ 9.81m/s²",
+        "the der le el the der le el",
+        "x" * 500,
+        "a " * 300,
+    ]
+    s = pd.Series(texts)
+    got = stats_frame(s)
+    for i, t in enumerate(texts):
+        assert got["n_tokens"][i] == token_count(t), (i, t)
+        assert got["n_bpe_tokens"][i] == bpe_ish_token_count(t), (i, t)
+        assert got["lang_pred"][i] == detect_language(t), (i, t)
+        assert abs(got["quality"][i] - quality_score(t)) < 1e-12, (i, t)
+        assert int(got["fingerprint"][i]) == fingerprint64(t), (i, t)
+
+
 def test_multimodal_plumbing(ray_session):
     import pytest
 
@@ -133,11 +171,52 @@ def test_multimodal_plumbing(ray_session):
     f1 = d1(table.slice(0, 1))
     f2 = MediaDecoder("fake", 8)(table.slice(0, 1))
     assert f1["features"].to_pylist() == f2["features"].to_pylist()
-    # real decoder is stubbed in this container
+    # real decoder: opaque fake payloads are honestly unsupported
     with pytest.raises(NotImplementedError):
-        MediaDecoder("real")
+        MediaDecoder("real", 8)(table.slice(0, 1))
     assert frame_sample_plan(3500, 1000) == [0, 1000, 2000, 3000]
     assert frame_sample_plan(-1) == [0]
+
+
+def test_multimodal_real_codecs(ray_session):
+    """decoder='real' does genuine stdlib codec work: encode→decode
+    roundtrips bit-exactly and the actor-pool stage reports true
+    dimensions / durations."""
+    import numpy as np
+
+    from yago4_ray.dataops import codecs
+    from yago4_ray.dataops.multimodal import decode_media, media_table_from_refs
+
+    img = codecs.synth_image(7, width=40, height=24)
+    assert (codecs.decode_png(codecs.encode_png(img)) == img).all()
+    assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+    gray = img[:, :, 0]
+    assert (codecs.decode_png(codecs.encode_png(gray)) == gray[:, :, None]).all()
+    wav = codecs.synth_audio(7, rate=8000, ms=125)
+    back, rate = codecs.decode_wav(codecs.encode_wav(wav, 8000))
+    assert rate == 8000 and len(back) == len(wav)
+    assert np.abs(back - wav).max() < 1e-3  # 16-bit quantization only
+    assert codecs.sniff(codecs.encode_png(img)) == "png"
+    assert codecs.sniff(b"garbage") == "unknown"
+
+    # e2e through the actor-pool stage, images + audio
+    imgs = media_table_from_refs(["m/i1", "m/i2"], "image", payload="real")
+    auds = media_table_from_refs(["m/a1"], "audio", payload="real")
+    ds = ray.data.from_arrow(pa.concat_tables([imgs, auds]))
+    out = (
+        decode_media(ds, decoder="real", feature_dim=9, batch_size=2)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert len(out) == 3
+    assert out.loc["m/i1", "width"] == 48 and out.loc["m/i1", "height"] == 32
+    assert out.loc["m/a1", "duration_ms"] == 250
+    assert all(len(f) == 9 for f in out["features"])
+    # deterministic across processes/batches
+    out2 = decode_media(ds, decoder="real", feature_dim=9).to_pandas().set_index("media_id")
+    for m in out.index:
+        assert list(out.loc[m, "features"]) == list(out2.loc[m, "features"])
 
 
 def test_partitioned_group_apply(ray_session):

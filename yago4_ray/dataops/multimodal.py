@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The Ray-side architecture (schemas, actor signatures, batch sizing,
-output layout) is real and tested; the codec calls themselves are
-STUBBED — this container ships no image/audio libraries — behind
-`decoder="fake"` (deterministic bytes-derived features, used in tests)
-or `decoder="real"` (raises NotImplementedError until PIL/ffmpeg-class
-libs exist in the runtime).
+Two decoder modes:
+
+- `decoder="real"` — actual codec work via the stdlib-only codecs in
+  `yago4_ray.dataops.codecs` (PNG/BMP/PPM images, PCM WAV audio):
+  decode, grid-pooled grayscale features for images, segment-RMS
+  features for audio, real width/height/duration. Formats that require
+  external libraries this container doesn't ship (JPEG, MP3, any video
+  codec) raise `NotImplementedError` with a clear message.
+- `decoder="fake"` — deterministic bytes-derived features with no
+  decode, for plumbing tests and unknown payloads.
 
 Batch-size guidance: media rows are wide — size `batch_size` so
 batch_size × concurrency × avg_payload stays well under the worker
@@ -21,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
+from . import codecs
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.string()),
@@ -34,19 +40,41 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def media_table_from_refs(refs: list[str], kind: str = "image") -> pa.Table:
-    """Deterministic synthetic media rows from ref strings (payload =
-    seeded bytes): the stand-in for real binary ingestion."""
-    payloads = []
+def _ref_seed(ref: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(ref.encode(), digest_size=8).digest(), "little"
+    )
+
+
+def media_table_from_refs(
+    refs: list[str], kind: str = "image", payload: str = "fake"
+) -> pa.Table:
+    """Deterministic synthetic media rows from ref strings.
+
+    payload="fake": opaque seeded bytes (pure plumbing).
+    payload="real": genuinely encoded media — a seeded PNG for images,
+    a seeded 16-bit PCM WAV tone for audio — so `decoder="real"` has
+    actual codec work to do, bit-identical across processes."""
+    payloads, mimes = [], []
     for r in refs:
-        h = hashlib.blake2b(r.encode(), digest_size=32).digest()
-        payloads.append(h * 8)  # 256-byte fake payload
+        if payload == "real" and kind == "image":
+            payloads.append(codecs.encode_png(codecs.synth_image(_ref_seed(r))))
+            mimes.append("image/png")
+        elif payload == "real" and kind == "audio":
+            payloads.append(
+                codecs.encode_wav(codecs.synth_audio(_ref_seed(r), rate=8000), 8000)
+            )
+            mimes.append("audio/wav")
+        else:
+            h = hashlib.blake2b(r.encode(), digest_size=32).digest()
+            payloads.append(h * 8)  # 256-byte fake payload
+            mimes.append("application/x-fake")
     return pa.table(
         {
             "media_id": pa.array(refs, pa.string()),
             "kind": pa.array([kind] * len(refs), pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["application/x-fake"] * len(refs), pa.string()),
+            "mime": pa.array(mimes, pa.string()),
             "width": pa.array([-1] * len(refs), pa.int32()),
             "height": pa.array([-1] * len(refs), pa.int32()),
             "duration_ms": pa.array([-1] * len(refs), pa.int32()),
@@ -60,17 +88,13 @@ class MediaDecoder:
 
     def __init__(self, decoder: str = "fake", feature_dim: int = 16,
                  target_size: tuple[int, int] = (64, 64)):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.feature_dim = feature_dim
         self.target_size = target_size
-        if decoder == "real":
-            try:
-                import PIL.Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real media decoding needs an image library not present "
-                    "in this container; use decoder='fake'"
-                ) from e
+        # grid side for image grid-pool features, fixed per actor
+        self.grid = max(1, int(np.sqrt(feature_dim)))
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic features from payload bytes: stable across
@@ -78,23 +102,80 @@ class MediaDecoder:
         h = hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest()
         return np.frombuffer(h, dtype=np.uint32).astype(np.float32) / 2**32
 
+    def _pad(self, f: np.ndarray) -> np.ndarray:
+        if len(f) < self.feature_dim:
+            f = np.pad(f, (0, self.feature_dim - len(f)))
+        return f[: self.feature_dim].astype(np.float32)
+
+    def _image_features(self, px: np.ndarray) -> np.ndarray:
+        """Grid-pooled grayscale means: g×g cell averages in [0, 1]."""
+        gray = px.astype(np.float32)
+        if gray.ndim == 3:
+            gray = gray[:, :, : 3].mean(axis=2)
+        h, w = gray.shape
+        g = self.grid
+        rows = (np.arange(h) * g) // h
+        cols = (np.arange(w) * g) // w
+        cell = rows[:, None] * g + cols[None, :]
+        sums = np.bincount(cell.ravel(), weights=gray.ravel(), minlength=g * g)
+        counts = np.bincount(cell.ravel(), minlength=g * g)
+        return self._pad(sums / np.maximum(counts, 1) / 255.0)
+
+    def _audio_features(self, x: np.ndarray) -> np.ndarray:
+        """Segment RMS over feature_dim equal slices of the clip."""
+        k = self.feature_dim
+        if len(x) == 0:
+            return np.zeros(k, dtype=np.float32)
+        bounds = (np.arange(k + 1) * len(x)) // k
+        seg = np.add.reduceat(x.astype(np.float64) ** 2, bounds[:-1])
+        n = np.maximum(np.diff(bounds), 1)
+        return self._pad(np.sqrt(seg / n))
+
+    def _decode_real(self, payload: bytes) -> tuple[np.ndarray, int, int, int]:
+        """→ (features, width, height, duration_ms)."""
+        fmt = codecs.sniff(payload)
+        if fmt == "png":
+            px = codecs.decode_png(payload)
+        elif fmt == "bmp":
+            px = codecs.decode_bmp(payload)
+        elif fmt == "ppm":
+            px = codecs.decode_ppm(payload)
+        elif fmt == "wav":
+            x, rate = codecs.decode_wav(payload)
+            return self._audio_features(x), -1, -1, int(len(x) * 1000 / rate)
+        else:
+            raise NotImplementedError(
+                "real decode supports PNG/BMP/PPM/WAV (stdlib codecs); "
+                "JPEG/MP3/video need external libraries not in this "
+                "container — use decoder='fake' for opaque payloads"
+            )
+        h, w = px.shape[:2]
+        return self._image_features(px), w, h, -1
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("real decode path is stubbed")
-        feats = [
-            self._fake_features(p.as_py() if hasattr(p, "as_py") else p)
-            for p in batch["payload"]
-        ]
+        feats, widths, heights, durations = [], [], [], []
+        for p in batch["payload"]:
+            payload = p.as_py() if hasattr(p, "as_py") else p
+            if self.decoder == "real":
+                f, w, h, d = self._decode_real(payload)
+            else:
+                f, w, h, d = (
+                    self._fake_features(payload),
+                    self.target_size[0],
+                    self.target_size[1],
+                    -1,
+                )
+            feats.append(f)
+            widths.append(w)
+            heights.append(h)
+            durations.append(d)
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
-                "width": pa.array(
-                    [self.target_size[0]] * len(feats), pa.int32()
-                ),
-                "height": pa.array(
-                    [self.target_size[1]] * len(feats), pa.int32()
-                ),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "duration_ms": pa.array(durations, pa.int32()),
                 "features": pa.array(
                     [f.tolist() for f in feats], pa.list_(pa.float32())
                 ),

@@ -829,8 +829,9 @@ def q16_customer_order_join(sf_dir: str):
 
 
 def media_decode_features(sf_dir: str):
-    """Multimodal plumbing: fake-decode media payloads derived from the
-    corpus' media refs (real codecs are stubbed in this container)."""
+    """Multimodal decode: REAL stdlib codecs (seeded PNG payloads per
+    media ref → decode → grid-pool features + true dimensions); the
+    `decoder="fake"` path remains for opaque/unsupported payloads."""
     from .dataops.multimodal import decode_media, media_table_from_refs
     from .extract import extract_statements
     import pyarrow.parquet as pq
@@ -843,10 +844,12 @@ def media_decode_features(sf_dir: str):
 
     refs = distinct_rows(media.select_columns(["media_ref"]), ["media_ref"])
     media_rows = refs.map_batches(
-        lambda t: media_table_from_refs(sorted(t["media_ref"].to_pylist())),
+        lambda t: media_table_from_refs(
+            sorted(t["media_ref"].to_pylist()), payload="real"
+        ),
         batch_format="pyarrow",
     )
-    return decode_media(media_rows, decoder="fake").drop_columns(["features"])
+    return decode_media(media_rows, decoder="real").drop_columns(["features"])
 
 
 QUERIES = {
