@@ -34,7 +34,12 @@ from ray.data import Dataset
 
 from . import cleaners as C
 from . import terms as T
-from .joins import distinct_rows, get_broadcast, hash_join
+from .joins import (
+    distinct_rows,
+    get_broadcast,
+    hash_join,
+    partitions_for_nbytes,
+)
 from .schema import PropertyShape, Schema
 from .sources import scan_predicate
 from .state import BuildState, Stats, build_state
@@ -473,6 +478,13 @@ def build_facts(
     """The core: (facts, annotated-facts) Datasets
     (plan.rs:896-1202). See module docstring for the dataflow."""
     schema = state.schema
+    if num_partitions is None:
+        # size the statement⨝statement exchanges by DATA volume, not
+        # CPU count: a fixed count means per-partition size grows
+        # without bound as the store grows (the 100-TB killer)
+        from .sources import store_nbytes
+
+        num_partitions = partitions_for_nbytes(store_nbytes(root))
     exclude = set(exclude_paths or LABEL_PATHS)
     configs: list[PropConfig] = []
     seen_ids: set[str] = set()
@@ -1140,11 +1152,19 @@ def build_combined(statements_root: str, state: BuildState) -> tuple[Dataset, Da
         ds.map_batches(tag(name), batch_format="pandas")
         for name, ds in outputs.items()
     ]
+    from .sources import store_nbytes
+
+    # dedup partition count follows data volume (output triples scale
+    # with the store); 32 stays the small-input floor
+    n_parts = max(32, partitions_for_nbytes(store_nbytes(statements_root)))
     combined = tagged[0].union(*tagged[1:])
-    combined = distinct_rows(combined, ["file", "subject", "predicate", "object"])
+    combined = distinct_rows(
+        combined, ["file", "subject", "predicate", "object"], num_parts=n_parts
+    )
     annotated = distinct_rows(
         annotated,
         ["subject", "predicate", "object", "annotation_predicate", "annotation_object"],
+        num_parts=n_parts,
     )
     return combined, annotated
 
@@ -1281,9 +1301,13 @@ def generate_yago(
             f.result()
 
     staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
+    # dedup partition count sized to the actual staged bytes (a fixed
+    # count means unbounded per-partition frames as outputs grow)
+    staged_bytes = sum(os.path.getsize(f) for f in staged_files)
     combined = distinct_rows(
         ray.data.read_parquet(staged_files),
         ["file", "subject", "predicate", "object"],
+        num_parts=max(32, partitions_for_nbytes(staged_bytes)),
         keep_part_column=True,  # deterministic part-file naming in the sink
     )
     combined.write_datasink(

@@ -150,6 +150,25 @@ def write_statement_store(
     clustered.write_parquet(root, partition_cols=["pred_key"])
 
 
+def store_nbytes(root: str, predicates: list[str] | None = None) -> int:
+    """On-disk parquet bytes of a statement store (optionally only the
+    partitions of some predicates) — the cheap data-volume estimate
+    that sizes shuffle partition counts (`joins.partitions_for_nbytes`).
+    A directory listing, not a data scan."""
+    roots = [root]
+    if predicates is not None:
+        roots = [
+            os.path.join(root, f"pred_key={predicate_key(p)}") for p in predicates
+        ]
+    total = 0
+    for r in roots:
+        for dirpath, _dirs, files in os.walk(r):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
 def scan_predicate(
     root: str,
     predicates: str | list[str],
