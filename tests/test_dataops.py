@@ -53,6 +53,34 @@ def test_simhash_pairs(ray_session):
     assert (1, 4) in pairs  # identical texts
 
 
+def test_ngram_jaccard_exact_pairs(ray_session):
+    from yago4_ray.dataops.dedup import (
+        batch_word_ngram_hashes,
+        ngram_jaccard_pairs,
+    )
+
+    # kernel: identical docs -> identical shingle sets; <n-word doc
+    # emits exactly one whole-doc shingle
+    d, h = batch_word_ngram_hashes(["a b c d", "a b c d", "x y"], n=3)
+    import numpy as np
+
+    assert set(h[d == 0]) == set(h[d == 1])
+    assert (d == 2).sum() == 1
+
+    out = ngram_jaccard_pairs(
+        _docs_ds(), "text", "doc_id", n=3, threshold=(1, 2)
+    ).to_pandas()
+    pairs = {tuple(r) for r in out[["a", "b"]].itertuples(index=False)}
+    assert (1, 4) in pairs  # identical texts: jaccard 1
+    assert (1, 2) in pairs and (2, 4) in pairs  # one-char diff: high overlap
+    assert all(a < b for a, b in pairs)
+    # exact counts for the identical pair: union == common
+    ident = out[(out["a"] == 1) & (out["b"] == 4)]
+    assert int(ident["n_common"].iloc[0]) == int(ident["n_union"].iloc[0])
+    # unrelated docs never pair
+    assert not any(3 in p or 6 in p for p in pairs)
+
+
 def test_embedding_dedup(ray_session):
     from yago4_ray.dataops.dedup import embedding_dedup_pairs
 

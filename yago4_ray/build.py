@@ -1304,8 +1304,20 @@ def generate_yago(
     # dedup partition count sized to the actual staged bytes (a fixed
     # count means unbounded per-partition frames as outputs grow)
     staged_bytes = sum(os.path.getsize(f) for f in staged_files)
+    # bound the read's block count too: the dedup shuffle's exchange is
+    # (input blocks × output partitions) objects, and one-block-per-staged-
+    # file makes it quadratic in file count (measured 723×723, 85 s at
+    # 8 CPUs vs 25 s bounded — sources.read_blocks_for_nbytes)
+    from .sources import read_blocks_for_nbytes
+
+    n_read_blocks = read_blocks_for_nbytes(staged_bytes)
     combined = distinct_rows(
-        ray.data.read_parquet(staged_files),
+        ray.data.read_parquet(
+            staged_files,
+            override_num_blocks=(
+                n_read_blocks if len(staged_files) > n_read_blocks else None
+            ),
+        ),
         ["file", "subject", "predicate", "object"],
         num_parts=max(32, partitions_for_nbytes(staged_bytes)),
         keep_part_column=True,  # deterministic part-file naming in the sink

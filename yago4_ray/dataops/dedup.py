@@ -476,3 +476,136 @@ def embedding_dedup_pairs(
         ),
         ["a", "b"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact word-n-gram Jaccard (the exactly-verifiable face of near-dup:
+# MinHash/SimHash approximate THIS measure; here it is computed exactly
+# via a distributed shingle inverted index, no signatures)
+# ---------------------------------------------------------------------------
+
+def batch_word_ngram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, hash) for every DISTINCT word n-gram of every text —
+    one vectorized pass: normalize (lower + whitespace-split), hash each
+    word (pandas siphash, fixed key → stable across processes), then a
+    polynomial over word hashes in sliding windows. A doc with fewer
+    than n words emits ONE shingle over its whole word list (matching
+    `list[i:i+n-1]` slicing semantics in SQL oracles). Only hash
+    EQUALITY is consumed (set elements), so cross-length collisions are
+    the usual 2^-64 noise."""
+    words_per_doc = [str(t).lower().split() or [""] for t in texts]
+    lens = np.fromiter(
+        (len(w) for w in words_per_doc), np.int64, count=len(words_per_doc)
+    )
+    flat = [w for ws in words_per_doc for w in ws]
+    wh = pd.util.hash_array(np.array(flat, dtype=object))  # uint64
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pows = _SHINGLE_BASE ** np.arange(n, dtype=np.uint64)
+    docs_out, h_out = [], []
+    if len(wh) >= n:
+        win = np.lib.stride_tricks.sliding_window_view(wh, n)
+        h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+        idx = np.arange(len(h))
+        valid = doc_of[idx] == doc_of[idx + n - 1]  # windows inside one doc
+        docs_out.append(doc_of[idx[valid]])
+        h_out.append(h[valid])
+    for short_len in range(1, n):  # whole-doc shingle for docs with <n words
+        sel = np.nonzero(lens == short_len)[0]
+        if len(sel):
+            starts = offsets[sel]
+            cols = starts[:, None] + np.arange(short_len)[None, :]
+            h = (wh[cols] * pows[None, :short_len]).sum(axis=1, dtype=np.uint64)
+            docs_out.append(sel)
+            h_out.append(h)
+    if not docs_out:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    doc = np.concatenate(docs_out)
+    h = np.concatenate(h_out)
+    order = np.lexsort((h, doc))  # distinct per doc via consecutive mask
+    doc, h = doc[order], h[order]
+    keep = np.concatenate(
+        [[True], (doc[1:] != doc[:-1]) | (h[1:] != h[:-1])]
+    )
+    return doc[keep], h[keep]
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    num_parts: int = 32,
+    max_doc_freq: int | None = None,
+) -> Dataset:
+    """EXACT all-pairs word-n-gram Jaccard ≥ threshold, as a distributed
+    shingle inverted index — three shuffles, no driver materialization:
+
+      docs → (id, shingle-hash, doc-shingle-count) rows
+           → groupby(shingle): within-bucket id pairs, partial counts
+           → groupby(pair): total common count m; emit when
+             m·q ≥ (ca+cb−m)·p  (threshold p/q held as an INTEGER
+             fraction: output (a, b, n_common, n_union) is bit-exact,
+             no float in sight — SQL-oracle-hashable)
+
+    Pair generation is quadratic per shingle BUCKET (the classic
+    inverted-index skew); `max_doc_freq`, when set, drops shingles that
+    occur in more docs than that (a standard stop-shingle cutoff — the
+    100-TB knob, OFF by default so the result stays exact)."""
+    from ..joins import partitioned_group_apply
+
+    p_num, p_den = threshold
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, h = batch_word_ngram_hashes(df[text_col].tolist(), n)
+        cnt = np.bincount(doc_idx, minlength=len(df))
+        return pd.DataFrame(
+            {
+                "id": df[id_col].to_numpy()[doc_idx],
+                "s": h.astype("uint64"),
+                "c": cnt[doc_idx].astype("int64"),
+            }
+        )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_doc_freq is not None:
+            sizes = pdf.groupby("s")["s"].transform("size")
+            pdf = pdf[sizes <= max_doc_freq]
+        m = pdf.merge(pdf, on="s")
+        m = m[m["id_x"] < m["id_y"]]
+        if not len(m):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=pdf["id"].dtype),
+                 "b": pd.Series(dtype=pdf["id"].dtype),
+                 "ca": pd.Series(dtype="int64"),
+                 "cb": pd.Series(dtype="int64"),
+                 "m": pd.Series(dtype="int64")}
+            )
+        g = (
+            m.groupby(["id_x", "id_y", "c_x", "c_y"], as_index=False)
+            .size()
+            .rename(
+                columns={"id_x": "a", "id_y": "b", "c_x": "ca",
+                         "c_y": "cb", "size": "m"}
+            )
+        )
+        g["m"] = g["m"].astype("int64")
+        return g
+
+    def reduce_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["a", "b", "ca", "cb"], as_index=False)["m"].sum()
+        union = g["ca"] + g["cb"] - g["m"]
+        keep = g["m"] * p_den >= union * p_num
+        out = g[keep].copy()
+        out["n_common"] = out["m"].astype("int64")
+        out["n_union"] = union[keep].astype("int64")
+        return out[["a", "b", "n_common", "n_union"]]
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    partials = partitioned_group_apply(
+        exploded, ["s"], bucket_pairs, num_parts=num_parts
+    )
+    return partitioned_group_apply(
+        partials, ["a", "b"], reduce_pairs, num_parts=num_parts
+    )

@@ -529,6 +529,33 @@ SQL_ORACLES = {
         FROM qs, embeddings e
         QUALIFY "rank" <= 10
     """,
+    "dedup_ngram_exact_pairs": """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                 ) w
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) i
+          FROM d
+        ),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s FROM idx),
+        cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id a, b.doc_id b, count(*) m
+          FROM sh a JOIN sh b USING (s)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT common.a AS a, common.b AS b,
+               CAST(m AS BIGINT) AS n_common,
+               CAST(ca.c + cb.c - m AS BIGINT) AS n_union
+        FROM common
+        JOIN cnt ca ON ca.doc_id = common.a
+        JOIN cnt cb ON cb.doc_id = common.b
+        WHERE m * 2 >= (ca.c + cb.c - m)
+    """,
     "dedup_embedding_exact_pairs": """
         WITH planted AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -786,6 +813,29 @@ def dedup_embedding_exact_pairs(sf_dir: str):
     )
 
 
+def dedup_ngram_exact_pairs(sf_dir: str):
+    """EXACT all-pairs word-3-gram Jaccard ≥ 1/2 over documents, via the
+    distributed shingle inverted index (dataops.dedup.ngram_jaccard_pairs)
+    — the exactly-verifiable measure MinHash approximates. Output is the
+    integer (n_common, n_union) pair, so the DuckDB oracle hash-matches
+    with no float tolerance."""
+    from .dataops.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=(1, 2))
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "a": df["a"].astype("int64"),
+                "b": df["b"].astype("int64"),
+                "n_common": df["n_common"].astype("int64"),
+                "n_union": df["n_union"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q16_customer_order_join(sf_dir: str):
     """orders ⨝ customer via the task-based co-partitioned join
     (joins.copartition_join) → per-market-segment order count + revenue
@@ -883,5 +933,6 @@ QUERIES = {
     "text_stats_docs": text_stats_docs,
     "text_stats_exact": text_stats_exact,
     "dedup_embedding_exact_pairs": dedup_embedding_exact_pairs,
+    "dedup_ngram_exact_pairs": dedup_ngram_exact_pairs,
     "media_decode_features": media_decode_features,
 }

@@ -169,6 +169,23 @@ def store_nbytes(root: str, predicates: list[str] | None = None) -> int:
     return total
 
 
+def read_blocks_for_nbytes(nbytes: int, target_mb: int = 32, cap: int = 2048) -> int:
+    """Read block count for a many-small-file parquet read that FEEDS A
+    SHUFFLE. Ray's sort shuffle (behind every groupby here) creates one
+    map-output object per (input block × output partition); a read that
+    keeps one block per file over hundreds of staged files makes that
+    exchange quadratic in file count (measured: the 44 M-row combined
+    dedup ran 723×723 ≈ 523k objects, 85 s at 8 CPUs; bounded to 16–128
+    blocks the same dedup is 25 s). Sizing: ~`target_mb` on-disk bytes
+    per block, floored at 2× cluster CPUs for read/map parallelism —
+    both ends scale with the deployment, not the file count."""
+    from .joins import default_join_partitions
+
+    base = 2 * default_join_partitions(cap=None)
+    by_size = int(nbytes // (target_mb << 20)) + 1
+    return max(base, min(by_size, cap))
+
+
 def scan_predicate(
     root: str,
     predicates: str | list[str],
@@ -196,7 +213,16 @@ def scan_predicate(
                  "object": pa.array([], pa.string())}
             )
         )
-    ds = ray.data.read_parquet(paths, columns=["subject", "predicate", "object"])
+    # bound block count: these scans feed groupby/join shuffles whose
+    # exchange width follows input block count (see read_blocks_for_nbytes);
+    # only override when the file count exceeds the bound (merging reads),
+    # never split single files (None keeps Ray's default)
+    nblocks = read_blocks_for_nbytes(sum(os.path.getsize(p) for p in paths))
+    ds = ray.data.read_parquet(
+        paths,
+        columns=["subject", "predicate", "object"],
+        override_num_blocks=nblocks if len(paths) > nblocks else None,
+    )
     pred_set = set(preds)
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_in(t["predicate"], pa.array(list(pred_set)))),
