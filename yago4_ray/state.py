@@ -90,7 +90,8 @@ class Stats:
 class BuildState:
     schema: Schema
     stats: Stats
-    enwiki_mapping: dict[str, str]  # wd term → enwiki URL
+    # wd term → enwiki URL: dict or HashedMap (same get/in/len protocol)
+    enwiki_mapping: "dict[str, str] | object"
     # wd term → yago term: a dict, or a broadcast-ready HashedMap built
     # straight from the Arrow merge output (same get/in/[]/len protocol)
     uri_mapping: "dict[str, str] | object"
@@ -151,21 +152,35 @@ class BuildState:
 # ST5: Wikidata → English Wikipedia
 # ---------------------------------------------------------------------------
 
-def build_enwiki_mapping(root: str) -> tuple[dict[str, str], Dataset]:
+def build_enwiki_mapping(root: str) -> tuple["HashedMap", Dataset]:
     """schema:about sitelinks restricted to en.wikipedia (plan.rs:206-223).
-    Returns (driver dict, (item, url) Dataset) — the Dataset is the
-    distributed-state join side."""
+    Returns (driver HashedMap, (item, url) Dataset) — the Dataset is the
+    distributed-state join side. The driver map is built from Arrow
+    blocks + worker-computed key hashes (get/in/len protocol); its only
+    driver consumers are class-scale membership probes, so the 2.4 M
+    item/url strings never materialize as Python objects."""
+    from .broadcast import HashedMap
+
     ds = scan_predicate(root, T.SCHEMA_ABOUT)
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         urls = batch["subject"].str.slice(1, -1)
         mask = urls.str.startswith(ENWIKI_PREFIX) & batch["subject"].str.startswith("<")
         out = batch[mask]
-        return pd.DataFrame({"item": out["object"], "url": urls[mask]})
+        return pd.DataFrame(
+            {
+                "item": out["object"],
+                "url": urls[mask],
+                "h": _hash_series(out["object"]),
+            }
+        )
 
     pairs_ds = ds.map_batches(extract, batch_format="pandas").materialize()
-    pairs = pairs_ds.to_pandas()
-    return dict(zip(pairs["item"], pairs["url"])), pairs_ds
+    tbl = pa.concat_tables(
+        ray.get(pairs_ds.to_arrow_refs()), promote_options="permissive"
+    )
+    mapping = HashedMap.from_arrow(tbl["item"], tbl["url"], hashes=tbl["h"])
+    return mapping, pairs_ds.select_columns(["item", "url"])
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +485,7 @@ def _mapping_subset(mapping, keys) -> dict:
     from .broadcast import HashedMap
 
     if not isinstance(mapping, HashedMap):
-        return mapping
+        return {k: mapping[k] for k in keys if k in mapping}
     ks = pd.Series(sorted(keys), dtype=object)
     vals = mapping.lookup(ks)
     return {k: v for k, v in zip(ks, vals) if v is not None}
@@ -584,9 +599,9 @@ def build_class_machinery(
         "Wikidata classes used for the instance of extraction", len(classes_to_keep)
     )
 
-    classes_to_keep_for_yago = {
-        c for c in classes_to_keep if c in enwiki_mapping
-    } | set(from_classes)
+    classes_to_keep_for_yago = set(
+        _mapping_subset(enwiki_mapping, classes_to_keep)
+    ) | set(from_classes)
     stats.set_global(
         "Wikidata classes kept for Yago", len(classes_to_keep_for_yago)
     )
