@@ -1264,8 +1264,21 @@ def generate_yago(
     import concurrent.futures as _cf
     import glob
     import shutil
+    import time as _time
+
+    # YAGO4_RAY_TIMINGS=1 → print per-phase wall times (perf work on a
+    # noisy host needs phase-level numbers, not end-to-end walls)
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str):
+        nonlocal _t0
+        if os.environ.get("YAGO4_RAY_TIMINGS"):
+            now = _time.perf_counter()
+            print(f"[generate_yago] {phase}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
 
     outputs, annotated = build_outputs_raw(statements_root, state)
+    _mark("raw-plans+facts-join")
     stage_dir = os.path.join(out_dir, ".stage")
     shutil.rmtree(stage_dir, ignore_errors=True)
 
@@ -1282,23 +1295,29 @@ def generate_yago(
             os.path.join(stage_dir, name)
         )
 
-    with _cf.ThreadPoolExecutor(max_workers=8) as pool:
-        futures = [
-            pool.submit(stage_one, name, ds) for name, ds in outputs.items()
-        ]
+    # each staging job saturates the cluster on its own (they are scan →
+    # map → write pipelines with full-width parallelism), so run them
+    # SEQUENTIALLY: 8 concurrent streaming executors divide the CPUs and
+    # pay 8× scheduler overhead instead (measured 30.3 s concurrent vs
+    # ~12 s sequential for the same jobs at 22 M statements / 32 CPUs).
+    # Only the annotated write overlaps — it is the one long gz sink.
+    with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+        ann_future = None
         if not is_complete(ann_dir, lineage):
             ann_sorted = distinct_rows(
                 annotated,
                 ["subject", "predicate", "object",
                  "annotation_predicate", "annotation_object"],
             )
-            futures.append(
-                pool.submit(
-                    write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
-                )
+            ann_future = pool.submit(
+                write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
             )
-        for f in futures:
-            f.result()
+        for name, ds in outputs.items():
+            stage_one(name, ds)
+        _mark("stage-triples")
+        if ann_future is not None:
+            ann_future.result()
+        _mark("annotated-write")
 
     staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
     # dedup partition count sized to the actual staged bytes (a fixed
@@ -1325,6 +1344,7 @@ def generate_yago(
     combined.write_datasink(
         MultiNTriplesGzDatasink(out_dir, triple_names, lineage=lineage)
     )
+    _mark("dedup+gz-write")
     shutil.rmtree(stage_dir, ignore_errors=True)
     state.stats.write(os.path.join(out_dir, "stats.tsv"))
     return {"combined": combined, "annotated-facts": annotated}
