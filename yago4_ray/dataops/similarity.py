@@ -132,21 +132,27 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    dtype=np.float32,
+    round_decimals: int | None = None,
 ) -> pd.DataFrame:
     """Approximate top-k: only rows whose centroid is among the query's
-    nprobe closest lists are scored. Same output schema as brute force."""
+    nprobe closest lists are scored. Same output schema as brute force.
+    nprobe=n_centroids degenerates to exact search (the oracle-gated
+    configuration); dtype/round_decimals as in brute_force_topk."""
     centroids = fit_centroids(ds, n_centroids, vec_col, seed=seed)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
-    probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    q = _normalize(np.asarray(queries, dtype=dtype))
+    probe_lists = np.argsort(-(q @ centroids.astype(dtype).T), axis=1)[:, :nprobe]
     allowed = [set(row.tolist()) for row in probe_lists]
     state_ref = ray.put((q, centroids, allowed))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         qm, cents, allow = get_broadcast(state_ref)
-        mat = _normalize(_stack(batch[vec_col]))
-        assign = (mat @ cents.T).argmax(axis=1)
+        mat = _normalize(_stack(batch[vec_col], dtype=dtype))
+        assign = (mat @ cents.astype(dtype).T).argmax(axis=1)
         ids = batch[id_col].to_numpy()
         sims = qm @ mat.T
+        if round_decimals is not None:
+            sims = np.round(sims, round_decimals)
         out = {"query_idx": [], "id": [], "cosine": []}
         for qi in range(len(qm)):
             mask = np.fromiter(

@@ -529,6 +529,35 @@ SQL_ORACLES = {
         FROM qs, embeddings e
         QUALIFY "rank" <= 10
     """,
+    # nprobe=n_centroids IVF is exact search: same ranking oracle
+    "sim_topk_ivf_full": """
+        WITH qs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 4
+        )
+        SELECT qs.vec_id AS query_id, e.vec_id AS id,
+               CAST(row_number() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       qs.qe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       e.vec_id ASC
+               ) AS BIGINT) AS "rank"
+        FROM qs, embeddings e
+        QUALIFY "rank" <= 10
+    """,
+    "dedup_embedding_pairs": """
+        WITH planted AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000000 AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS e
+            FROM embeddings WHERE vec_id < 25
+        )
+        SELECT p1.vec_id AS a, p2.vec_id AS b
+        FROM planted p1, planted p2
+        WHERE p1.vec_id < p2.vec_id
+          AND list_cosine_similarity(p1.e, p2.e) >= 0.95
+    """,
     "dedup_ngram_exact_pairs": """
         WITH d AS (
           SELECT doc_id,
@@ -744,6 +773,34 @@ def sim_topk_ivf(sf_dir: str):
     return top[["query_idx", "rank", "id"]]
 
 
+def sim_topk_ivf_full(sf_dir: str):
+    """IVF with nprobe = n_centroids (no list pruned) degenerates to
+    exact search — the oracle-gated face of the IVF code path: same
+    float64 + 6-dp + id tie-break treatment as sim_topk_brute, checked
+    against the identical DuckDB ranking. Pruned-recall behaviour is
+    covered by tests/test_dataops (recall vs exact)."""
+    from .dataops.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ds.sort("vec_id").limit(4).to_pandas()
+    queries = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]
+    )
+    top = ivf_topk(
+        ds, queries, k=10, n_centroids=16, nprobe=16,
+        dtype=np.float64, round_decimals=6,
+    )
+    return pd.DataFrame(
+        {
+            "query_id": top["query_idx"].map(
+                dict(enumerate(qdf["vec_id"]))
+            ).astype("int64"),
+            "id": top["id"].astype("int64"),
+            "rank": (top["rank"] + 1).astype("int64"),
+        }
+    )
+
+
 def text_stats_docs(sf_dir: str):
     from .dataops.textstats import text_stats
 
@@ -930,6 +987,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_ivf_full": sim_topk_ivf_full,
     "text_stats_docs": text_stats_docs,
     "text_stats_exact": text_stats_exact,
     "dedup_embedding_exact_pairs": dedup_embedding_exact_pairs,
