@@ -137,3 +137,75 @@ def test_multimap_from_columns_matches_dict():
     assert list(ao) == list(bo) and list(ae) == list(be)
     assert a.get("k7") == b.get("k7") == ("o7", "e7")
     assert a.get("nope") is None and b.get("nope") is None
+
+
+@settings(max_examples=30)
+@given(
+    st.lists(
+        st.text(min_size=1, max_size=40), min_size=1, max_size=200, unique=True
+    )
+)
+def test_hashedmap_from_arrow_matches_dict(keys):
+    """HashedMap.from_arrow (Arrow columns + worker-prehashed hashes)
+    must answer get/in/[]/lookup identically to the dict-built map."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from yago4_ray.broadcast import HashedMap, _hash_series
+
+    values = [k[::-1] + "!" for k in keys]
+    a = HashedMap(dict(zip(keys, values)))
+    b = HashedMap.from_arrow(
+        pa.array(keys, pa.large_string()),
+        pa.array(values, pa.large_string()),
+        hashes=pa.array(_hash_series(keys), pa.uint64()),
+    )
+    c = HashedMap.from_arrow(  # no-hash path (driver hashing fallback)
+        pa.array(keys, pa.large_string()), pa.array(values, pa.large_string())
+    )
+    probes = pd.Series(keys + ["@@absent@@", ""], dtype=object)
+    for m in (b, c):
+        assert len(m) == len(a)
+        assert list(a.lookup(probes)) == list(m.lookup(probes))
+        assert m.get(keys[0]) == values[0] and m.get("@@absent@@") is None
+        assert keys[0] in m and "@@absent@@" not in m
+        assert m[keys[0]] == values[0]
+
+
+def test_multimap_from_arrow_matches_dict():
+    import pandas as pd
+    import pyarrow as pa
+
+    from yago4_ray.broadcast import HashedMultiMap, _hash_series
+
+    mapping = {f"k{i}": (f"o{i}", f"e{i}" if i % 3 else "") for i in range(500)}
+    keys = list(mapping)
+    a = HashedMultiMap(mapping)
+    b = HashedMultiMap.from_arrow(
+        pa.array(keys, pa.large_string()),
+        pa.array([mapping[k][0] for k in keys], pa.large_string()),
+        pa.array([mapping[k][1] for k in keys], pa.large_string()),
+        hashes=pa.array(_hash_series(keys), pa.uint64()),
+    )
+    probes = pd.Series(keys + ["missing1", "missing2"], dtype=object)
+    ao, ae = a.lookup(probes)
+    bo, be = b.lookup(probes)
+    assert list(ao) == list(bo) and list(ae) == list(be)
+
+
+def test_hashedmap_from_arrow_duplicate_keys_fall_back():
+    """Duplicate keys make the prehashed-distinctness check fail; the
+    constructor must fall back to exact dict semantics (keep-last),
+    never silently mis-answer."""
+    import pyarrow as pa
+
+    from yago4_ray.broadcast import HashedMap, _hash_series
+
+    keys = ["a", "b", "a"]
+    values = ["1", "2", "3"]
+    m = HashedMap.from_arrow(
+        pa.array(keys, pa.large_string()),
+        pa.array(values, pa.large_string()),
+        hashes=pa.array(_hash_series(keys), pa.uint64()),
+    )
+    assert m.get("a") == "3" and m.get("b") == "2" and m.get("c") is None

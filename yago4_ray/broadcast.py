@@ -248,6 +248,52 @@ class HashedMultiMap:
         )
         return self
 
+    @classmethod
+    def from_arrow(cls, keys, objects, extras, hashes=None):
+        """Build from Arrow string arrays; with `hashes` (worker-computed
+        _hash_series values; keys must be distinct, which the one-row-
+        per-(family, value_node) groupby guarantees) no key/value string
+        ever materializes as a Python object on the happy path."""
+        arrs = []
+        for a in (keys, objects, extras, hashes):
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            arrs.append(a)
+        keys, objects, extras, hashes = arrs
+        self = cls.__new__(cls)
+        if len(keys) == 0:
+            self.key_hashes = np.empty(0, np.uint64)
+            self.objects = pa.array([], type=pa.large_string())
+            self.extras = pa.array([], type=pa.large_string())
+            self._collision_free = True
+            self._fallback = None
+            return self
+        if hashes is not None:
+            h = hashes.to_numpy().astype(np.uint64, copy=False)
+            n_distinct = len(keys)
+        else:
+            key_s = keys.to_pandas()
+            h = _hash_series(key_s)
+            n_distinct = key_s.nunique()
+        order = pa.array(np.argsort(h, kind="stable"), type=pa.int64())
+        self.key_hashes = np.sort(h, kind="stable")
+        self.objects = objects.cast(pa.large_string()).take(order)
+        self.extras = extras.cast(pa.large_string()).take(order)
+        self._collision_free = (
+            len(np.unique(self.key_hashes)) == n_distinct
+        )
+        self._fallback = (
+            None
+            if self._collision_free
+            else dict(
+                zip(
+                    keys.to_pylist(),
+                    zip(objects.to_pylist(), extras.to_pylist()),
+                )
+            )
+        )
+        return self
+
     def __len__(self):
         return len(self.key_hashes)
 

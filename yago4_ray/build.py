@@ -189,18 +189,28 @@ def build_clean_maps(root: str, state: BuildState, stats: Stats) -> dict:
 
 
 def build_clean_hmms(root: str, state: BuildState, stats: Stats) -> dict:
-    """HashedMultiMaps per clean family, straight off the clean-values
-    frame columns — skips the intermediate per-row Python dicts of
-    build_clean_maps AND HashedMultiMap's dict-consuming constructor
-    (each cost seconds per million value nodes on the driver)."""
-    from .broadcast import HashedMultiMap
+    """HashedMultiMaps per clean family, built from Arrow blocks with
+    worker-computed key hashes — the value-node/object/extras strings
+    never materialize as Python objects on the driver (the pandas
+    dict/object round trips this replaces each cost seconds per million
+    value nodes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    df = build_clean_values_ds(root, state).to_pandas()
+    from .broadcast import HashedMultiMap, _hash_series
+
+    hashed = build_clean_values_ds(root, state).map_batches(
+        lambda b: b.assign(h=_hash_series(b["value_node"])),
+        batch_format="pandas",
+    )
+    tbl = pa.concat_tables(
+        ray.get(hashed.to_arrow_refs()), promote_options="permissive"
+    ).combine_chunks()
     out: dict[str, "HashedMultiMap"] = {}
     for name in ("time", "coordinates", "duration", "integer", "quantity"):
-        fam = df[df["family"] == name]
-        out[name] = HashedMultiMap.from_columns(
-            fam["value_node"], fam["object"], fam["extras"]
+        fam = tbl.filter(pc.equal(tbl["family"], name))
+        out[name] = HashedMultiMap.from_arrow(
+            fam["value_node"], fam["object"], fam["extras"], hashes=fam["h"]
         )
         stats.set_local("Cleaned complex type", name, len(out[name]))
     return out
