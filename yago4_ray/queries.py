@@ -639,20 +639,25 @@ def kg_context(sf_dir: str):
     return _KG_CACHE[n]
 
 
-def kg_facts(sf_dir: str):
-    from .build import build_facts
+def _kg_facts_pair(sf_dir: str):
+    """(facts, annotated) Datasets, cached per scale — they share one
+    build_facts run (whose statement⨝statement join is materialized), so
+    kg_facts and kg_annotated_facts don't rebuild the fact state twice."""
+    key = ("facts_pair", _kg_scale(sf_dir))
+    if key not in _KG_CACHE:
+        from .build import build_facts
 
-    _, store, state = kg_context(sf_dir)
-    facts, _ = build_facts(store, state)
-    return facts
+        _, store, state = kg_context(sf_dir)
+        _KG_CACHE[key] = build_facts(store, state)
+    return _KG_CACHE[key]
+
+
+def kg_facts(sf_dir: str):
+    return _kg_facts_pair(sf_dir)[0]
 
 
 def kg_annotated_facts(sf_dir: str):
-    from .build import build_facts
-
-    _, store, state = kg_context(sf_dir)
-    _, annotated = build_facts(store, state)
-    return annotated
+    return _kg_facts_pair(sf_dir)[1]
 
 
 def kg_labels(sf_dir: str):
