@@ -286,3 +286,47 @@ def test_salted_aggregate_hot_key(ray_session):
     got = out.sort_values("k").reset_index(drop=True)
     want = want.sort_values("k").reset_index(drop=True)
     assert got.equals(want.astype({"n": got["n"].dtype, "total": got["total"].dtype}))
+
+
+def test_multimodal_resize_stage(ray_session):
+    """resize_media: real PNG payloads decode → nearest-neighbor resize
+    → PPM re-encode, chained straight into decode_media; non-image rows
+    pass through untouched."""
+    import ray
+
+    from yago4_ray.dataops import codecs
+    from yago4_ray.dataops.multimodal import (
+        decode_media,
+        media_table_from_refs,
+        resize_media,
+        resize_pixels,
+    )
+
+    imgs = media_table_from_refs(
+        [f"commons://File:{i}.png" for i in range(6)],
+        kind="image", payload="real",
+    )
+    wavs = media_table_from_refs(
+        ["commons://File:x.wav"], kind="audio", payload="real"
+    )
+    ds = ray.data.from_arrow([imgs, wavs])
+    out = resize_media(ds, width=16, height=12, concurrency=2).to_pandas()
+    assert len(out) == 7
+    img_rows = out[out["kind"] == "image"]
+    assert img_rows["resized"].all()
+    assert (img_rows["width"] == 16).all() and (img_rows["height"] == 12).all()
+    audio_rows = out[out["kind"] == "audio"]
+    assert not audio_rows["resized"].any()  # pass-through
+    # every resized payload is a decodable 12x16 PPM
+    px = codecs.decode_ppm(img_rows["payload"].iloc[0])
+    assert px.shape[:2] == (12, 16)
+    # the chain feeds decode_media's real decoder directly
+    feats = decode_media(
+        resize_media(ds, width=16, height=12), decoder="real", feature_dim=4
+    ).to_pandas()
+    assert (feats[feats["kind"] == "image"]["width"] == 16).all()
+    # resize kernel: exact nearest-neighbor semantics
+    base = codecs.synth_image(7, width=4, height=2)
+    up = resize_pixels(base, 8, 4)
+    assert up.shape[:2] == (4, 8)
+    assert (up[0, 0] == base[0, 0]).all() and (up[-1, -1] == base[-1, -1]).all()

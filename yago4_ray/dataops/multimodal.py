@@ -206,3 +206,82 @@ def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:
     if duration_ms <= 0:
         return [0]
     return list(range(0, duration_ms, every_ms))
+
+
+def resize_pixels(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index sampling (no image
+    library): rows/cols are gathered with two integer index arrays —
+    one vectorized take, any channel count."""
+    h, w = px.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // max(height, 1), h - 1)
+    cols = np.minimum((np.arange(width) * w) // max(width, 1), w - 1)
+    return px[rows[:, None], cols[None, :]]
+
+
+class MediaResizer:
+    """Actor-pool resize stage: decode (stdlib codecs) → nearest-neighbor
+    resize → re-encode as PPM (stdlib). Non-image kinds and undecodable
+    payloads pass through untouched with resized=False, so the stage can
+    sit in a mixed media pipeline without dropping rows."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, widths, heights, mimes, resized = [], [], [], [], []
+        for p, kind, mime in zip(
+            batch["payload"], batch["kind"], batch["mime"]
+        ):
+            payload = p.as_py()
+            out = None
+            if kind.as_py() == "image":
+                fmt = codecs.sniff(payload)
+                decode = {
+                    "png": codecs.decode_png,
+                    "bmp": codecs.decode_bmp,
+                    "ppm": codecs.decode_ppm,
+                }.get(fmt)
+                if decode is not None:
+                    out = resize_pixels(decode(payload), self.width, self.height)
+            if out is None:
+                payloads.append(payload)
+                widths.append(-1)
+                heights.append(-1)
+                mimes.append(mime.as_py())
+                resized.append(False)
+            else:
+                payloads.append(codecs.encode_ppm(out))
+                widths.append(self.width)
+                heights.append(self.height)
+                mimes.append("image/x-portable-pixmap")
+                resized.append(True)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(mimes, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "resized": pa.array(resized, pa.bool_()),
+            }
+        )
+
+
+def resize_media(
+    ds: Dataset,
+    width: int = 64,
+    height: int = 64,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 64,
+) -> Dataset:
+    """Media rows → same rows with image payloads resized to
+    width×height (PPM re-encode); output feeds decode_media directly."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

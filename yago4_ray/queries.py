@@ -964,6 +964,36 @@ def media_decode_features(sf_dir: str):
     return decode_media(media_rows, decoder="real").drop_columns(["features"])
 
 
+def media_resize_decode(sf_dir: str):
+    """Multimodal resize → decode chain: corpus media refs → seeded PNG
+    payloads → nearest-neighbor resize to 32×24 (PPM re-encode, actor
+    pool) → real decode; every output row must carry the resized
+    dimensions."""
+    from .dataops.multimodal import (
+        decode_media,
+        media_table_from_refs,
+        resize_media,
+    )
+    from .extract import extract_statements
+    import pyarrow.parquet as pq
+
+    corpus_dir, _, _ = kg_context(sf_dir)
+    docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+    dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
+    _, media = extract_statements(docs, dictionary, concurrency=2)
+    from .joins import distinct_rows
+
+    refs = distinct_rows(media.select_columns(["media_ref"]), ["media_ref"])
+    media_rows = refs.map_batches(
+        lambda t: media_table_from_refs(
+            sorted(t["media_ref"].to_pylist()), payload="real"
+        ),
+        batch_format="pyarrow",
+    )
+    resized = resize_media(media_rows, width=32, height=24)
+    return decode_media(resized, decoder="real").drop_columns(["features"])
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_orders_by_status": q2_orders_by_status,
@@ -998,4 +1028,5 @@ QUERIES = {
     "dedup_embedding_exact_pairs": dedup_embedding_exact_pairs,
     "dedup_ngram_exact_pairs": dedup_ngram_exact_pairs,
     "media_decode_features": media_decode_features,
+    "media_resize_decode": media_resize_decode,
 }
