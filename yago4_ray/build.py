@@ -1305,13 +1305,18 @@ def generate_yago(
             os.path.join(stage_dir, name)
         )
 
-    # each staging job saturates the cluster on its own (they are scan →
-    # map → write pipelines with full-width parallelism), so run them
-    # SEQUENTIALLY: 8 concurrent streaming executors divide the CPUs and
-    # pay 8× scheduler overhead instead (measured 30.3 s concurrent vs
-    # ~12 s sequential for the same jobs at 22 M statements / 32 CPUs).
-    # Only the annotated write overlaps — it is the one long gz sink.
-    with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+    # staging concurrency follows DATA SIZE: at small inputs each job is
+    # sub-second of work behind ~1.5 s of executor startup, so 8 threads
+    # overlap the floors; at large inputs each job saturates the cluster
+    # alone and 8 concurrent streaming executors just divide the CPUs
+    # and multiply scheduler overhead (measured 30.3 s concurrent vs
+    # ~12 s sequential at 22 M statements / 32 CPUs; the opposite holds
+    # at 2.2 M). The annotated gz write overlaps in both regimes.
+    from .sources import store_nbytes
+
+    wide_input = store_nbytes(statements_root) > 256 * 1024 * 1024
+    stage_workers = 1 if wide_input else 8
+    with _cf.ThreadPoolExecutor(max_workers=max(stage_workers, 1) + 1) as pool:
         ann_future = None
         if not is_complete(ann_dir, lineage):
             ann_sorted = distinct_rows(
@@ -1322,8 +1327,16 @@ def generate_yago(
             ann_future = pool.submit(
                 write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
             )
-        for name, ds in outputs.items():
-            stage_one(name, ds)
+        if stage_workers == 1:
+            for name, ds in outputs.items():
+                stage_one(name, ds)
+        else:
+            futures = [
+                pool.submit(stage_one, name, ds)
+                for name, ds in outputs.items()
+            ]
+            for f in futures:
+                f.result()
         _mark("stage-triples")
         if ann_future is not None:
             ann_future.result()
