@@ -281,7 +281,7 @@ class TextStats:
 
 
 def text_stats(ds: Dataset, text_col: str = "text",
-               concurrency: int | tuple[int, int] = 4) -> Dataset:
+               concurrency: int | tuple[int, int] = (2, 16)) -> Dataset:
     return ds.map_batches(
         TextStats,
         fn_constructor_args=(text_col,),
