@@ -234,6 +234,10 @@ def partitioned_group_apply(
             batch = pa.Table.from_pandas(
                 combine(batch.to_pandas()), preserve_index=False
             )
+        # drop pandas schema metadata (a dict): it defeats Ray's shuffle
+        # schema-dedup hashing, which then keeps one schema copy per block
+        if batch.schema.metadata:
+            batch = batch.replace_schema_metadata(None)
         key = batch[key_columns[0]].to_pandas().astype(str)
         for c in key_columns[1:]:
             key = key + _SEP + batch[c].to_pandas().astype(str)
