@@ -21,8 +21,10 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -161,38 +163,57 @@ def copartition_join(
 
     `left_cols`/`right_cols` are each side's full column lists (schemas
     are known statically at every call site; asking the Dataset would
-    trigger execution). Non-key columns must be disjoint across sides."""
+    trigger execution). Non-key columns must be disjoint across sides.
+
+    The exchange ships ARROW blocks (same treatment as
+    partitioned_group_apply): the key hash is computed on the key
+    columns only, missing columns are appended as null-typed arrays
+    (pyarrow's default schema unification promotes null to the other
+    side's real type at concat time), and pandas schema metadata is
+    stripped so Ray's shuffle schema-dedup hashing works — the pandas
+    object-frame version both pickled every string and leaked one
+    schema dict per block (the `unhashable type: 'dict'` misses in
+    BENCH_r02's tail)."""
     keys = [on] if isinstance(on, str) else list(on)
     all_cols = list(dict.fromkeys(left_cols + right_cols))
 
     def tag(side: int, cols: list[str]):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            # object dtype end-to-end: when Ray concatenates both sides'
-            # blocks into a group, a typed (e.g. int64) key column would
-            # be promoted to float64 by the other side's NaN fill and
-            # its string form would no longer hash equal ("2.0" vs "2")
-            batch = batch.reindex(columns=all_cols).astype(object)
-            key = batch[keys[0]].astype(str)
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.schema.metadata:
+                batch = batch.replace_schema_metadata(None)
+            n = batch.num_rows
+            key = batch.column(keys[0]).to_pandas().astype(str)
             for c in keys[1:]:
-                key = key + _SEP + batch[c].astype(str)
-            batch["__part"] = (
+                key = key + _SEP + batch.column(c).to_pandas().astype(str)
+            part = (
                 pd.util.hash_pandas_object(key, index=False).to_numpy() % num_parts
             ).astype("int64")
-            batch["__side"] = side
-            return batch
+            arrays: list[pa.ChunkedArray | pa.Array] = []
+            for c in all_cols:
+                if c in batch.column_names:
+                    arrays.append(batch.column(c))
+                else:
+                    arrays.append(pa.nulls(n))
+            arrays.append(pa.array(part, pa.int64()))
+            arrays.append(pa.array(np.full(n, side, dtype="int8")))
+            return pa.table(dict(zip(all_cols + ["__part", "__side"], arrays)))
 
         return fn
 
-    lt = left.map_batches(tag(0, left_cols), batch_format="pandas")
-    rt = right.map_batches(tag(1, right_cols), batch_format="pandas")
+    lt = left.map_batches(tag(0, left_cols), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_cols), batch_format="pyarrow")
 
-    def join_part(pdf: pd.DataFrame) -> pd.DataFrame:
-        lhs = pdf[pdf["__side"] == 0][left_cols]
-        rhs = pdf[pdf["__side"] == 1][right_cols]
+    def join_part(t: pa.Table) -> pd.DataFrame:
+        # split sides in Arrow BEFORE the pandas conversion: a typed
+        # (e.g. int64) column keeps its dtype because the nulls the
+        # other side contributed are filtered out first
+        side = t.column("__side")
+        lhs = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        rhs = t.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
         return lhs.merge(rhs, on=keys, how=how)
 
     return lt.union(rt).groupby("__part").map_groups(
-        join_part, batch_format="pandas"
+        join_part, batch_format="pyarrow"
     )
 
 
@@ -334,8 +355,6 @@ def salted_aggregate(
     each hot key now contributes at most `salt` rows. `agg_spec` maps
     output column → (input column, 'sum'|'min'|'max'|'size') — the
     decomposable aggregates salting is valid for."""
-    import numpy as np
-
     if hot_keys is None:
         hot_keys = top_hot_keys(ds, key, hot_threshold or 100_000)
     hot_ref = ray.put(set(hot_keys))
