@@ -330,3 +330,43 @@ def test_multimodal_resize_stage(ray_session):
     up = resize_pixels(base, 8, 4)
     assert up.shape[:2] == (4, 8)
     assert (up[0, 0] == base[0, 0]).all() and (up[-1, -1] == base[-1, -1]).all()
+
+
+def test_resize_grayscale_and_rgba_channels(ray_session):
+    """encode_ppm channel normalization: grayscale (H,W,1) and RGBA
+    (H,W,4) PNGs survive resize → re-encode → decode — the naive P6
+    header over those payloads crashed decode_ppm (grayscale) or read
+    misaligned pixels (RGBA)."""
+    import numpy as np
+
+    from yago4_ray.dataops import codecs
+    from yago4_ray.dataops.multimodal import resize_media
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(10, 14), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(10, 14, 4), dtype=np.uint8)
+    rows = pa.table(
+        {
+            "media_id": ["g", "a"],
+            "kind": ["image", "image"],
+            "payload": pa.array(
+                [codecs.encode_png(gray), codecs.encode_png(rgba)], pa.binary()
+            ),
+            "mime": ["image/png", "image/png"],
+        }
+    )
+    out = (
+        resize_media(ray.data.from_arrow(rows), width=7, height=5, concurrency=1)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out["resized"].all()
+    g = codecs.decode_ppm(out.loc["g", "payload"])
+    assert g.shape == (5, 7)  # P5 grayscale, not a mis-sized P6
+    a = codecs.decode_ppm(out.loc["a", "payload"])
+    assert a.shape == (5, 7, 3)  # alpha dropped, pixels aligned
+    # pixel parity with a driver-side resize of the decoded source
+    from yago4_ray.dataops.multimodal import resize_pixels
+
+    ref = resize_pixels(codecs.decode_png(codecs.encode_png(rgba)), 7, 5)
+    assert (a == ref[:, :, :3]).all()

@@ -124,6 +124,10 @@ def test_vectorized_kernel_parity(corpus_dir):
                         {"kind": "text", "text": f'{known} | P1448 | quoted "name"\twith\\escapes', "media_ref": "", "offset": 5},
                         {"kind": "media", "text": "", "media_ref": "", "offset": 6},
                         {"kind": "media", "text": "", "media_ref": "img://x", "offset": 7},
+                        # media span with empty ref but pipe-bearing text:
+                        # must be DROPPED by both kernels, never parsed as
+                        # a text statement
+                        {"kind": "media", "text": f"{known} | P569 | 1999-12-31T23:59:59Z", "media_ref": "", "offset": 9},
                         {"kind": "text", "text": "unknown surface | P569 | 1999-01-01T00:00:00+00:00", "media_ref": "", "offset": 8},
                     ],
                     None,

@@ -167,9 +167,13 @@ class HashedMap:
         return value
 
     def lookup(self, series: pd.Series) -> pd.Series:
-        """Mapped values aligned to `series`; NaN where missing."""
+        """Mapped values aligned to `series`; None where missing."""
         if self._fallback is not None:
-            return series.map(self._fallback)
+            out = series.map(self._fallback)
+            # Series.map yields NaN (not None) for misses; normalize so
+            # the collision-fallback path keeps the same `is not None`
+            # contract as the hash path (values are strings, never NaN)
+            return out.where(out.notna(), None)
         n = len(series)
         if n == 0 or len(self.key_hashes) == 0:
             return pd.Series([None] * n, index=series.index, dtype=object)

@@ -180,7 +180,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
+    """PPM/PGM encode with channel normalization: decode_png can yield
+    (H,W,1) grayscale, (H,W,2) gray+alpha, or (H,W,4) RGBA — a naive P6
+    header over those payloads mis-sizes the body (decode crashes or
+    reads misaligned garbage). Squeeze 1/2 channels to P5 grayscale and
+    drop alpha from RGBA before writing the 3-channel P6 body."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 3:
+        if arr.shape[2] in (1, 2):
+            arr = np.ascontiguousarray(arr[:, :, 0])
+        elif arr.shape[2] == 4:
+            arr = np.ascontiguousarray(arr[:, :, :3])
     if arr.ndim == 2:
         return b"P5 %d %d 255\n" % (arr.shape[1], arr.shape[0]) + arr.tobytes()
     h, w, _ = arr.shape

@@ -304,9 +304,13 @@ class MentionExtractor:
         media = {"doc_id": [], "media_ref": []}
         for doc_id, spans in zip(doc_ids, spans_col):
             for span in spans or ():
-                if span["kind"] == "media" and span["media_ref"]:
-                    media["doc_id"].append(doc_id)
-                    media["media_ref"].append(span["media_ref"])
+                if span["kind"] == "media":
+                    # every media-kind span stays out of the text path —
+                    # one with an empty media_ref is dropped, not parsed
+                    # as a statement (matches the vectorized tmask)
+                    if span["media_ref"]:
+                        media["doc_id"].append(doc_id)
+                        media["media_ref"].append(span["media_ref"])
                     continue
                 text = span["text"]
                 if "|" not in text:

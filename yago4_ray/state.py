@@ -26,6 +26,7 @@ both representations are produced here.
 from __future__ import annotations
 
 import sys
+import threading
 import types
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -86,6 +87,11 @@ class Stats:
                     f.write(f"{key}\t{entry}\t{values[entry]}\n")
 
 
+# module-level (not a BuildState field): a Lock can't be pickled, and
+# the contention is a handful of cache fills per build
+_REFS_LOCK = threading.Lock()
+
+
 @dataclass
 class BuildState:
     schema: Schema
@@ -112,33 +118,39 @@ class BuildState:
     _refs: dict[str, "ray.ObjectRef"] = field(default_factory=dict)
 
     def ref(self, name: str) -> "ray.ObjectRef":
-        if name not in self._refs:
-            obj = getattr(self, name)
-            self._refs[name] = ray.put(obj)
-        return self._refs[name]
+        with _REFS_LOCK:
+            if name not in self._refs:
+                obj = getattr(self, name)
+                self._refs[name] = ray.put(obj)
+            return self._refs[name]
 
     def packed_ref(self, name: str) -> "ray.ObjectRef":
         """Zero-copy broadcast forms (yago4_ray.broadcast): numpy/Arrow
         buffers instead of pickled dicts — workers pay ~nothing to
-        ray.get them, which is what makes wide fan-out scale."""
-        key = f"packed:{name}"
-        if key not in self._refs:
-            from .broadcast import HashedMap, HashedSet
+        ray.get them, which is what makes wide fan-out scale.
 
-            if name == "uri_mapping":
-                obj = (
-                    self.uri_mapping
-                    if isinstance(self.uri_mapping, HashedMap)
-                    else HashedMap(self.uri_mapping)
-                )
-            elif name == "shape_instances":
-                obj = self.shape_instances  # already packed HashedSets
-            elif name == "things":
-                obj = self.things()
-            else:
-                raise KeyError(name)
-            self._refs[key] = ray.put(obj)
-        return self._refs[key]
+        Cache fills are locked: build.py threads stage pipelines
+        concurrently, and an unguarded double-fill would ray.put a
+        duplicate copy of the largest broadcast object (the URI map)."""
+        key = f"packed:{name}"
+        with _REFS_LOCK:
+            if key not in self._refs:
+                from .broadcast import HashedMap, HashedSet
+
+                if name == "uri_mapping":
+                    obj = (
+                        self.uri_mapping
+                        if isinstance(self.uri_mapping, HashedMap)
+                        else HashedMap(self.uri_mapping)
+                    )
+                elif name == "shape_instances":
+                    obj = self.shape_instances  # already packed HashedSets
+                elif name == "things":
+                    obj = self.things()
+                else:
+                    raise KeyError(name)
+                self._refs[key] = ray.put(obj)
+            return self._refs[key]
 
     def things(self):
         from .broadcast import HashedSet
@@ -488,7 +500,10 @@ def _mapping_subset(mapping, keys) -> dict:
         return {k: mapping[k] for k in keys if k in mapping}
     ks = pd.Series(sorted(keys), dtype=object)
     vals = mapping.lookup(ks)
-    return {k: v for k, v in zip(ks, vals) if v is not None}
+    # pd.notna, not `is not None`: lookup's collision-fallback path maps
+    # through a dict and yields NaN (not None) for misses — admitting
+    # those would carry NaN URIs into classes_to_keep_for_yago
+    return {k: v for k, v in zip(ks, vals) if pd.notna(v)}
 
 def subclass_of_from_yago_schema(schema: Schema) -> list[tuple[str, str]]:
     """Schema-side subclass edges with the Intangible/StructuredValue
