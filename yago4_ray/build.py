@@ -46,6 +46,23 @@ from .state import BuildState, Stats, build_state
 
 LABEL_PATHS = [T.RDFS_LABEL, T.RDFS_COMMENT, T.SCHEMA_ALTERNATE_NAME]
 
+_TIMING_T0: dict[str, float] = {}
+
+
+def _mark_timing(scope: str, phase: str) -> None:
+    """YAGO4_RAY_TIMINGS=1 → per-phase wall prints (perf work on a
+    noisy host needs phase-level numbers, not end-to-end walls)."""
+    import os
+    import time
+
+    if not os.environ.get("YAGO4_RAY_TIMINGS"):
+        return
+    now = time.perf_counter()
+    t0 = _TIMING_T0.get(scope)
+    if t0 is not None:
+        print(f"[{scope}] {phase}: {now - t0:.1f}s", flush=True)
+    _TIMING_T0[scope] = now
+
 _TIME_DTS = frozenset(
     {T.XSD_DATE, T.XSD_DATE_TIME, T.XSD_G_YEAR, T.XSD_G_YEAR_MONTH}
 )
@@ -189,6 +206,21 @@ def build_clean_maps(root: str, state: BuildState, stats: Stats) -> dict:
 
 
 def build_clean_hmms(root: str, state: BuildState, stats: Stats) -> dict:
+    """HashedMultiMaps per clean family (broadcast-path form of ST4)."""
+    return _clean_hmms_from_ds(build_clean_values_ds(root, state), stats)
+
+
+def build_clean_hmms_from_ref(root: str, uri_ref, stats: Stats) -> dict:
+    """Like build_clean_hmms but fed a packed URI-mapping ObjectRef
+    directly — lets state.build_state start this wide scan as soon as
+    the URI merge resolves (overlapping shape-instance resolution),
+    without a BuildState existing yet."""
+    return _clean_hmms_from_ds(
+        C.build_value_maps(root, scan_predicate, uri_ref), stats
+    )
+
+
+def _clean_hmms_from_ds(ds: Dataset, stats: Stats) -> dict:
     """HashedMultiMaps per clean family, built from Arrow blocks with
     worker-computed key hashes — the value-node/object/extras strings
     never materialize as Python objects on the driver (the pandas
@@ -199,7 +231,7 @@ def build_clean_hmms(root: str, state: BuildState, stats: Stats) -> dict:
 
     from .broadcast import HashedMultiMap, _hash_series
 
-    hashed = build_clean_values_ds(root, state).map_batches(
+    hashed = ds.map_batches(
         lambda b: b.assign(h=_hash_series(b["value_node"])),
         batch_format="pandas",
     )
@@ -487,6 +519,9 @@ def build_facts(
 ) -> tuple[Dataset, Dataset]:
     """The core: (facts, annotated-facts) Datasets
     (plan.rs:896-1202). See module docstring for the dataflow."""
+    import time as _time
+
+    _TIMING_T0["build_facts"] = _time.perf_counter()
     schema = state.schema
     if num_partitions is None:
         # size the statement⨝statement exchanges by DATA volume, not
@@ -530,13 +565,21 @@ def build_facts(
         )
     else:
         # the four broadcast-state builds are independent: the two
-        # cluster-bound ones (clean values, best-rank hashes) overlap
-        # the driver-bound packings in threads (cf. state.build_state)
+        # cluster-bound ones (clean values, best-rank hashes) normally
+        # start inside build_state the moment the URI merge resolves
+        # (state.prewarmed futures) — here we only fall back for states
+        # constructed without that hook, and overlap the driver-bound
+        # packings in threads either way
         import concurrent.futures as _cf
 
+        pre = state.prewarmed or {}
         with _cf.ThreadPoolExecutor(max_workers=4) as _pool:
-            f_clean = _pool.submit(build_clean_hmms, root, state, state.stats)
-            f_rank = _pool.submit(best_rank_hashed_set, root)
+            f_clean = pre.get("clean_maps") or _pool.submit(
+                build_clean_hmms, root, state, state.stats
+            )
+            f_rank = pre.get("best_rank") or _pool.submit(
+                best_rank_hashed_set, root
+            )
             f_uri = _pool.submit(state.packed_ref, "uri_mapping")
             f_si = _pool.submit(state.packed_ref, "shape_instances")
             refs = {
@@ -545,6 +588,7 @@ def build_facts(
                 "best_rank": ray.put(f_rank.result()),
                 "clean_maps": ray.put(f_clean.result()),
             }
+        _mark_timing("build_facts", "broadcast-state (clean+rank+uri+si)")
 
         subjects = _subject_side(root, configs, refs)
         objects = _object_side(root, configs, refs, T.PS_PREFIX, T.PSV_PREFIX)
@@ -560,6 +604,7 @@ def build_facts(
     # materialize once: consumed by the facts file, the annotation join
     # and the stats — avoids recomputing the whole pipeline 3×
     joined = joined.materialize()
+    _mark_timing("build_facts", "facts-join-materialize")
 
     cfg_path = {c.cfg_id: c.path for c in configs}
     path_ref = ray.put(cfg_path)
@@ -1287,8 +1332,6 @@ def generate_yago(
             print(f"[generate_yago] {phase}: {now - _t0:.1f}s", flush=True)
             _t0 = now
 
-    outputs, annotated = build_outputs_raw(statements_root, state)
-    _mark("raw-plans+facts-join")
     stage_dir = os.path.join(out_dir, ".stage")
     shutil.rmtree(stage_dir, ignore_errors=True)
 
@@ -1311,63 +1354,100 @@ def generate_yago(
     # alone and 8 concurrent streaming executors just divide the CPUs
     # and multiply scheduler overhead (measured 30.3 s concurrent vs
     # ~12 s sequential at 22 M statements / 32 CPUs; the opposite holds
-    # at 2.2 M). The annotated gz write overlaps in both regimes.
+    # at 2.2 M). The annotated gz write overlaps in both regimes, and
+    # the FACTS JOIN overlaps the non-facts staging at wide inputs (the
+    # raw pipelines are independent of the join — the only facts
+    # consumer is its own staging job, which waits for the join).
     from .sources import store_nbytes
 
     wide_input = store_nbytes(statements_root) > 256 * 1024 * 1024
     stage_workers = 1 if wide_input else 8
-    with _cf.ThreadPoolExecutor(max_workers=max(stage_workers, 1) + 1) as pool:
-        ann_future = None
-        if not is_complete(ann_dir, lineage):
-            ann_sorted = distinct_rows(
-                annotated,
-                ["subject", "predicate", "object",
-                 "annotation_predicate", "annotation_object"],
-            )
-            ann_future = pool.submit(
-                write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
-            )
+    with _cf.ThreadPoolExecutor(max_workers=max(stage_workers, 1) + 2) as pool:
+        # the facts pipeline (broadcast-state + statement join) runs in
+        # a thread; non-facts staging proceeds underneath it
+        f_facts = pool.submit(build_facts, statements_root, state, dedup=False)
+        others = {
+            "class": build_classes_description(statements_root, state, dedup=False),
+            "simple-types": build_simple_types(state),
+            "full-types": build_full_types(statements_root, state, dedup=False),
+            "labels": build_labels(statements_root, state, dedup=False),
+            "sameAs": build_same_as(statements_root, state, dedup=False),
+            "schema": build_yago_schema(state.schema),
+            "shapes": build_yago_shapes(state.schema),
+        }
+        _mark("raw-plans")
         if stage_workers == 1:
-            for name, ds in outputs.items():
+            for name, ds in others.items():
                 stage_one(name, ds)
+            _mark("stage-others (overlapping facts join)")
+            facts, annotated = f_facts.result()
+            _mark("facts-join")
+            ann_future = None
+            if not is_complete(ann_dir, lineage):
+                ann_sorted = distinct_rows(
+                    annotated,
+                    ["subject", "predicate", "object",
+                     "annotation_predicate", "annotation_object"],
+                )
+                ann_future = pool.submit(
+                    write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
+                )
+            stage_one("facts", facts)
+            _mark("stage-facts")
         else:
+            facts, annotated = f_facts.result()
+            _mark("facts-join")
+            ann_future = None
+            if not is_complete(ann_dir, lineage):
+                ann_sorted = distinct_rows(
+                    annotated,
+                    ["subject", "predicate", "object",
+                     "annotation_predicate", "annotation_object"],
+                )
+                ann_future = pool.submit(
+                    write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
+                )
             futures = [
                 pool.submit(stage_one, name, ds)
-                for name, ds in outputs.items()
+                for name, ds in {**others, "facts": facts}.items()
             ]
             for f in futures:
                 f.result()
-        _mark("stage-triples")
+            _mark("stage-triples")
+
+        # the annotated gz write is an independent output dir — it keeps
+        # running UNDER the combined dedup+gz job below and is drained
+        # after it (waiting here would serialize ~an ann-write behind
+        # the staging for nothing)
+        staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
+        # dedup partition count sized to the actual staged bytes (a fixed
+        # count means unbounded per-partition frames as outputs grow)
+        staged_bytes = sum(os.path.getsize(f) for f in staged_files)
+        # bound the read's block count too: the dedup shuffle's exchange is
+        # (input blocks × output partitions) objects, and one-block-per-staged-
+        # file makes it quadratic in file count (measured 723×723, 85 s at
+        # 8 CPUs vs 25 s bounded — sources.read_blocks_for_nbytes)
+        from .sources import read_blocks_for_nbytes
+
+        n_read_blocks = read_blocks_for_nbytes(staged_bytes)
+        combined = distinct_rows(
+            ray.data.read_parquet(
+                staged_files,
+                override_num_blocks=(
+                    n_read_blocks if len(staged_files) > n_read_blocks else None
+                ),
+            ),
+            ["file", "subject", "predicate", "object"],
+            num_parts=max(32, partitions_for_nbytes(staged_bytes)),
+            keep_part_column=True,  # deterministic part-file naming in the sink
+        )
+        combined.write_datasink(
+            MultiNTriplesGzDatasink(out_dir, triple_names, lineage=lineage)
+        )
+        _mark("dedup+gz-write")
         if ann_future is not None:
             ann_future.result()
-        _mark("annotated-write")
-
-    staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
-    # dedup partition count sized to the actual staged bytes (a fixed
-    # count means unbounded per-partition frames as outputs grow)
-    staged_bytes = sum(os.path.getsize(f) for f in staged_files)
-    # bound the read's block count too: the dedup shuffle's exchange is
-    # (input blocks × output partitions) objects, and one-block-per-staged-
-    # file makes it quadratic in file count (measured 723×723, 85 s at
-    # 8 CPUs vs 25 s bounded — sources.read_blocks_for_nbytes)
-    from .sources import read_blocks_for_nbytes
-
-    n_read_blocks = read_blocks_for_nbytes(staged_bytes)
-    combined = distinct_rows(
-        ray.data.read_parquet(
-            staged_files,
-            override_num_blocks=(
-                n_read_blocks if len(staged_files) > n_read_blocks else None
-            ),
-        ),
-        ["file", "subject", "predicate", "object"],
-        num_parts=max(32, partitions_for_nbytes(staged_bytes)),
-        keep_part_column=True,  # deterministic part-file naming in the sink
-    )
-    combined.write_datasink(
-        MultiNTriplesGzDatasink(out_dir, triple_names, lineage=lineage)
-    )
-    _mark("dedup+gz-write")
+        _mark("annotated-write-drain")
     shutil.rmtree(stage_dir, ignore_errors=True)
     state.stats.write(os.path.join(out_dir, "stats.tsv"))
     return {"combined": combined, "annotated-facts": annotated}

@@ -189,6 +189,8 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     concurrency: int | tuple[int, int] = (2, 16),
+    bucket_cap: int = 1000,
+    keep_bucket_stats: bool = False,
 ) -> Dataset:
     """Candidate near-duplicate pairs (a, b) with a < b, deduplicated.
     shingle→minhash→band rows→groupby(band)→within-band pairs.
@@ -198,7 +200,14 @@ def minhash_lsh_pairs(
     Jaccard cut, so moderately-similar template docs stop flooding the
     candidate set (b=16/r=4 had its midpoint at 0.5 and emitted 192 k
     candidates for 477 true near-dups on the sf0.1 corpus) while
-    ≥0.9-similar docs still collide with probability ≈ 0.99."""
+    ≥0.9-similar docs still collide with probability ≈ 0.99.
+
+    Buckets above `bucket_cap` docs are STAR-linked through their min
+    doc instead of silently dropped (quadratic emission bounded, recall
+    preserved through the representative); with
+    `keep_bucket_stats=True` each pair carries an `oversized` column
+    (the source bucket's size for star edges, 0 otherwise) so callers
+    can count what was capped."""
     banded = ds.map_batches(
         MinHasher,
         fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed),
@@ -207,22 +216,45 @@ def minhash_lsh_pairs(
     )
 
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        out_a, out_b, out_over = [], [], []
         for _, docs in pdf.groupby(["band", "bh"])["doc"]:
             uniq = sorted(set(docs))
-            if len(uniq) < 2 or len(uniq) > 1000:  # degenerate band guard
+            if len(uniq) < 2:
+                continue
+            if len(uniq) > bucket_cap:
+                # oversized bucket (identical band signatures — template
+                # spam or a degenerate band): STAR-link to the min doc
+                # instead of silently dropping; the cluster still closes
+                # through the representative, and quadratic blowup is
+                # avoided. Flagged per pair so callers can count.
+                for j in range(1, len(uniq)):
+                    out_a.append(uniq[0])
+                    out_b.append(uniq[j])
+                    out_over.append(len(uniq))
                 continue
             for i in range(len(uniq)):
                 for j in range(i + 1, len(uniq)):
                     out_a.append(uniq[i])
                     out_b.append(uniq[j])
-        return pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
+                    out_over.append(0)
+        return pd.DataFrame(
+            {"a": out_a, "b": out_b, "oversized": out_over}
+        ).drop_duplicates(["a", "b"])
 
-    from ..joins import distinct_rows, partitioned_group_apply
+    from ..joins import partitioned_group_apply
 
     pairs = partitioned_group_apply(banded, ["band", "bh"], pairs_in_part)
-    # dedupe pairs found in multiple bands
-    return distinct_rows(pairs, ["a", "b"])
+    # dedupe pairs found in multiple bands (keep the max oversized flag
+    # so a star edge is never silently relabelled as a verified-complete
+    # pair by a duplicate from a healthy band)
+    deduped = partitioned_group_apply(
+        pairs,
+        ["a", "b"],
+        lambda pdf: pdf.groupby(["a", "b"], as_index=False)["oversized"].max(),
+    )
+    if keep_bucket_stats:
+        return deduped
+    return deduped.drop_columns(["oversized"])
 
 
 def batch_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
@@ -263,23 +295,38 @@ def minhash_dedup(
 ) -> Dataset:
     """Full near-dup pipeline → (id, cluster) rows for docs in clusters.
     Candidate pairs are verified with true n-gram Jaccard by JOINING the
-    pairs to the (id, text) dataset on `a` then on `b` — the corpus text
-    never leaves the object store; only the candidate-pair rows (near-dup
-    edges, tiny relative to the corpus) reach the driver for the final
+    pairs to a (id, shingles) dataset on `a` then on `b` — no candidate
+    text or shingle ever reaches the driver (`.to_pandas()`/`ray.put`
+    of per-doc state is gone); only the VERIFIED pair rows (near-dup
+    edges, tiny relative to the corpus) are collected for the final
     min-label clustering."""
     import ray
 
-    from ..joins import get_broadcast
+    from ..joins import copartition_join, get_broadcast
 
     k = kwargs.get("shingle_k", 5)
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).materialize()
+    pairs = minhash_lsh_pairs(
+        ds, text_col, id_col, keep_bucket_stats=True, **kwargs
+    ).materialize()
+    n_star = pairs.map_batches(
+        lambda b: pd.DataFrame({"n": [int((b["oversized"] > 0).sum())]}),
+        batch_format="pandas",
+    ).sum("n")
+    if n_star:
+        print(
+            f"[minhash_dedup] {n_star} star-linked pairs from oversized "
+            "LSH buckets (bucket_cap exceeded)",
+            flush=True,
+        )
+    pairs = pairs.drop_columns(["oversized"])
     # the verify state is bounded by the CANDIDATE set, never the corpus:
-    # (1) collect candidate ids (near-dup edges — tiny vs the corpus),
+    # (1) collect candidate IDS only (near-dup edge endpoints — 8-byte
+    #     hashes of them would also do; the strings are tiny),
     # (2) one broadcast-filtered corpus pass computes each candidate's
-    #     sorted shingle array ONCE (an id recurring in many pairs is
-    #     never re-shingled),
-    # (3) pairs verify against the broadcast shingle dict with
-    #     np.intersect1d — no corpus text ever shuffles or broadcasts.
+    #     sorted shingle array ONCE, kept distributed as a Dataset,
+    # (3) two co-partitioned joins attach shingles to each pair side;
+    #     verification is per part with np.intersect1d — no corpus text
+    #     or shingle ever shuffles through the driver.
     cand_ids = set()
     for batch in pairs.iter_batches(batch_format="pandas"):
         cand_ids.update(batch["a"])
@@ -306,15 +353,25 @@ def minhash_dedup(
             }
         )
 
-    sh_df = ds.map_batches(cand_shingles, batch_format="pandas").to_pandas()
-    sh_ref = ray.put(dict(zip(sh_df["id"], sh_df["sh"])))
+    sh_ds = ds.map_batches(cand_shingles, batch_format="pandas").materialize()
+    sh_a = sh_ds.map_batches(
+        lambda b: b.rename(columns={"id": "a", "sh": "sh_a"}),
+        batch_format="pandas",
+    )
+    sh_b = sh_ds.map_batches(
+        lambda b: b.rename(columns={"id": "b", "sh": "sh_b"}),
+        batch_format="pandas",
+    )
+    with_a = copartition_join(pairs, sh_a, "a", ["a", "b"], ["a", "sh_a"])
+    with_both = copartition_join(
+        with_a, sh_b, "b", ["a", "b", "sh_a"], ["b", "sh_b"]
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        sh_map = get_broadcast(sh_ref)
         keep = np.zeros(len(batch), bool)
-        for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
-            sa = np.frombuffer(sh_map.get(a, b""), dtype=np.uint64)
-            sb = np.frombuffer(sh_map.get(b, b""), dtype=np.uint64)
+        for i, (sa_raw, sb_raw) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
+            sa = np.frombuffer(sa_raw or b"", dtype=np.uint64)
+            sb = np.frombuffer(sb_raw or b"", dtype=np.uint64)
             union = len(sa) + len(sb)
             if union == 0:
                 keep[i] = True
@@ -323,7 +380,7 @@ def minhash_dedup(
             keep[i] = inter / (union - inter) >= threshold
         return batch[keep][["a", "b"]]
 
-    verified = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    verified = with_both.map_batches(verify, batch_format="pandas").to_pandas()
     if "a" not in verified.columns:  # all-empty blocks carry no schema
         verified = pd.DataFrame({"a": [], "b": []})
     # min-label propagation on the driver: candidate graph is tiny
@@ -444,9 +501,16 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 42,
+    bucket_cap: int = 2000,
 ) -> Dataset:
     """Near-dup pairs by cosine ≥ threshold. Seeded hyperplane-LSH
-    buckets, exact cosine inside buckets (numpy matmul per group)."""
+    buckets, exact cosine inside buckets (numpy matmul per group).
+
+    Buckets above `bucket_cap` rows are recursively SPLIT with extra
+    seeded hyperplanes (depth-derived) until they fit, instead of being
+    silently dropped — each split plane loses a ≥threshold pair with
+    probability ≈ arccos(threshold)/π (~10% at 0.95), vs 100% for a
+    drop. Split events are printed as a counter."""
     import ray
 
     # probe dim from one row
@@ -473,13 +537,23 @@ def embedding_dedup_pairs(
 
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_c = [], [], []
-        for _, group in pdf.groupby("bucket"):
-            if len(group) < 2 or len(group) > 2000:
-                continue
-            ids = group["id"].to_numpy()
-            mat = np.stack(
-                [np.frombuffer(v, dtype=np.float32) for v in group["vec"]]
-            )
+        n_splits = 0
+
+        def emit(ids: np.ndarray, mat: np.ndarray, depth: int) -> None:
+            nonlocal n_splits
+            if len(ids) < 2:
+                return
+            if len(ids) > bucket_cap:
+                # recursive plane split: one extra seeded hyperplane per
+                # depth halves the bucket in expectation; ≥threshold
+                # pairs stay on one side w.p. 1 - arccos(t)/π
+                n_splits += 1
+                rng = np.random.default_rng((seed, depth, len(ids)))
+                plane = rng.standard_normal(mat.shape[1]).astype(np.float32)
+                side = (mat @ plane) > 0
+                emit(ids[side], mat[side], depth + 1)
+                emit(ids[~side], mat[~side], depth + 1)
+                return
             sims = mat @ mat.T
             ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
             for i, j in zip(ii, jj):
@@ -488,6 +562,21 @@ def embedding_dedup_pairs(
                     out_a.append(a)
                     out_b.append(b)
                     out_c.append(float(sims[i, j]))
+
+        for _, group in pdf.groupby("bucket"):
+            if len(group) < 2:
+                continue
+            ids = group["id"].to_numpy()
+            mat = np.stack(
+                [np.frombuffer(v, dtype=np.float32) for v in group["vec"]]
+            )
+            emit(ids, mat, 0)
+        if n_splits:
+            print(
+                f"[embedding_dedup] split {n_splits} oversized LSH buckets "
+                f"(> {bucket_cap} rows)",
+                flush=True,
+            )
         return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
 
     from ..joins import distinct_rows, partitioned_group_apply

@@ -169,6 +169,29 @@ def store_nbytes(root: str, predicates: list[str] | None = None) -> int:
     return total
 
 
+def store_num_rows(root: str, predicates: list[str] | None = None) -> int:
+    """Row count of a statement store (optionally only some predicates'
+    partitions) from parquet FOOTERS — metadata reads only, no data
+    scan. Used to pre-size state decisions (e.g. whether the URI
+    mapping fits driver RAM) BEFORE any state is built."""
+    import pyarrow.parquet as pq
+
+    roots = [root]
+    if predicates is not None:
+        roots = [
+            os.path.join(root, f"pred_key={predicate_key(p)}") for p in predicates
+        ]
+    total = 0
+    for r in roots:
+        if not os.path.isdir(r):
+            continue
+        for dirpath, _dirs, files in os.walk(r):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(dirpath, f)).num_rows
+    return total
+
+
 def read_blocks_for_nbytes(nbytes: int, target_mb: int = 32, cap: int = 2048) -> int:
     """Read block count for a many-small-file parquet read that FEEDS A
     SHUFFLE. Ray's sort shuffle (behind every groupby here) creates one

@@ -113,6 +113,10 @@ class BuildState:
     # by build_state from state size / YAGO4_RAY_DISTRIBUTED_STATE=1
     distributed: bool = False
     datasets: dict[str, Dataset] = field(default_factory=dict)
+    # futures for broadcast-state built EARLY (kicked off by build_state
+    # the moment the URI merge resolves, overlapping shape-instance
+    # resolution): {"clean_maps": Future[dict], "best_rank": Future[HashedSet]}
+    prewarmed: dict = field(default_factory=dict)
 
     # broadcast refs, created lazily
     _refs: dict[str, "ray.ObjectRef"] = field(default_factory=dict)
@@ -468,10 +472,27 @@ def build_uri_mapping(
         # the merge itself is Arrow/numpy; ~3× faster than the shuffle at
         # driver-feasible scale, bit-identical result
         # (merge_uri_candidates_arrow is the same kernel either way)
+        import os as _os
+        import time as _time
+
+        _t = _time.perf_counter()
         cand_tbl = pa.concat_tables(
             ray.get(candidates.to_arrow_refs()), promote_options="permissive"
         )
+        if _os.environ.get("YAGO4_RAY_TIMINGS"):
+            print(
+                f"[uri_mapping] candidate-scan+collect: "
+                f"{_time.perf_counter() - _t:.1f}s ({cand_tbl.num_rows} rows)",
+                flush=True,
+            )
+            _t = _time.perf_counter()
         out_tbl = merge_uri_candidates_arrow(cand_tbl)
+        if _os.environ.get("YAGO4_RAY_TIMINGS"):
+            print(
+                f"[uri_mapping] driver-merge-kernel: "
+                f"{_time.perf_counter() - _t:.1f}s ({out_tbl.num_rows} rows)",
+                flush=True,
+            )
         merged = ray.data.from_arrow(out_tbl)
     from .broadcast import HashedMap
 
@@ -831,9 +852,34 @@ def build_state(
 ) -> BuildState:
     import concurrent.futures as _cf
     import os as _os
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str):
+        nonlocal _t0
+        if _os.environ.get("YAGO4_RAY_TIMINGS"):
+            now = _time.perf_counter()
+            print(f"[build_state] {phase}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
 
     schema = schema or Schema.open()
     stats = Stats()
+    if distributed is None:
+        # decide BEFORE building any state: with the decision taken
+        # after the URI merge, auto mode would driver-collect the very
+        # candidate table it then deems too big. The estimate is the
+        # rdf:type partition's footer row count — an upper bound on the
+        # kept-item count (markers are its wikibase:Item subset), read
+        # from parquet metadata only, which errs toward flipping to
+        # the join path early (the safe direction at scale).
+        from .sources import store_num_rows
+
+        distributed = (
+            store_num_rows(statements_root, [T.RDF_TYPE])
+            >= DISTRIBUTED_STATE_THRESHOLD
+            or _os.environ.get("YAGO4_RAY_DISTRIBUTED_STATE") == "1"
+        )
     uri_strategy = "distributed" if distributed else "driver"
     # the four input reductions are independent — run them as concurrent
     # Ray Data executions (the reference overlaps its state builds with
@@ -847,13 +893,30 @@ def build_state(
         f_counts = pool.submit(collect_instance_counts, statements_root)
         enwiki_mapping, enwiki_ds = f_enwiki.result()
         uri_mapping, uri_ds = f_uri.result()
+        prewarmed: dict = {}
+        uri_packed: "ray.ObjectRef | None" = None
+        if not distributed:
+            # the clean-value scan needs ONLY the URI broadcast and the
+            # best-rank scan only the store — start both NOW so they
+            # overlap class machinery + shape-instance resolution
+            # instead of serializing behind them in build_facts
+            from . import build as B  # deferred: build imports state
+
+            uri_packed = ray.put(uri_mapping)
+            _pre_pool = _cf.ThreadPoolExecutor(max_workers=2)
+            prewarmed = {
+                "clean_maps": _pre_pool.submit(
+                    B.build_clean_hmms_from_ref, statements_root, uri_packed,
+                    stats,
+                ),
+                "best_rank": _pre_pool.submit(
+                    B.best_rank_hashed_set, statements_root
+                ),
+            }
+            _pre_pool.shutdown(wait=False)
         p279_edges = f_p279.result()
         instance_counts = f_counts.result()
-    if distributed is None:
-        distributed = (
-            len(uri_mapping) >= DISTRIBUTED_STATE_THRESHOLD
-            or _os.environ.get("YAGO4_RAY_DISTRIBUTED_STATE") == "1"
-        )
+    _mark("input-reductions (enwiki+uri+p279+counts)")
     stats.set_global(
         "Wikidata items mapped to English Wikipedia articles", len(enwiki_mapping)
     )
@@ -863,6 +926,7 @@ def build_state(
             all_sub_class_of=p279_edges, instance_counts=instance_counts,
         )
     )
+    _mark("class-machinery")
     shape_instances, inst_ds = build_shape_instances(
         statements_root,
         schema,
@@ -872,6 +936,7 @@ def build_state(
         yago_classes,
         uri_mapping,
     )
+    _mark("shape-instances")
     state = BuildState(
         schema=schema,
         stats=stats,
@@ -882,7 +947,10 @@ def build_state(
         yago_super_class_of=yago_super_class_of,
         shape_instances=shape_instances,
         distributed=bool(distributed),
+        prewarmed=prewarmed,
     )
+    if uri_packed is not None:
+        state._refs["packed:uri_mapping"] = uri_packed
     state.datasets["uri_mapping"] = uri_ds
     state.datasets["shape_instances"] = inst_ds
     state.datasets["enwiki"] = enwiki_ds
