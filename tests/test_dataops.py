@@ -81,6 +81,78 @@ def test_ngram_jaccard_exact_pairs(ray_session):
     assert not any(3 in p or 6 in p for p in pairs)
 
 
+def test_minhash_clusters_equal_exact_ground_truth(ray_session):
+    """The approximate pipeline gated by the EXACT operator it
+    approximates: minhash clusters at Jaccard >= 0.8 must equal the
+    connected components of the exact char-5-shingle all-pairs graph at
+    the same threshold (ngram_jaccard_pairs shingle='char' shares the
+    shingle space with batch_shingle_hashes). Deterministic — every
+    stage is seeded — so equality is a stable gate, not a flake."""
+    from yago4_ray.dataops.dedup import minhash_dedup, ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    exact = ngram_jaccard_pairs(
+        ds, "text", "doc_id", n=5, threshold=(4, 5), shingle="char"
+    ).to_pandas()
+    assert len(exact) > 0
+    # min-label connected components of the exact pair graph
+    label: dict = {}
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for a, b in zip(exact["a"], exact["b"]):
+        label.setdefault(a, a)
+        label.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted([ra, rb])
+            label[hi] = lo
+    want = sorted((int(d), int(find(d))) for d in label)
+
+    got_df = minhash_dedup(ds, "text", "doc_id", threshold=0.8).to_pandas()
+    got = sorted(zip(got_df["doc_id"].astype(int), got_df["cluster"].astype(int)))
+    assert got == want
+
+
+def test_simhash_pairs_equal_bruteforce(ray_session):
+    """The 4x16-band SimHash LSH has a pigeonhole guarantee: any pair at
+    hamming <= 3 shares at least one exact band, so the banded operator
+    must EQUAL brute-force all-pairs hamming — no recall slack at all."""
+    import pyarrow.parquet as pq
+
+    from yago4_ray.dataops.dedup import batch_simhash64, simhash_dedup_pairs
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = tbl["doc_id"].to_numpy()
+    sh = batch_simhash64(tbl["text"].to_pylist())
+    xor = sh[:, None] ^ sh[None, :]
+    ham = np.zeros(xor.shape, np.int64)
+    for _ in range(64):
+        ham += (xor & np.uint64(1)).astype(np.int64)
+        xor = xor >> np.uint64(1)
+    ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+    want = sorted(
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(ii, jj)
+    )
+    assert want  # the corpus plants near-dups; brute force must see them
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = simhash_dedup_pairs(ds, "text", "doc_id").to_pandas()
+    got = sorted(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert got == want
+
+
 def test_embedding_dedup(ray_session):
     from yago4_ray.dataops.dedup import embedding_dedup_pairs
 
@@ -93,6 +165,49 @@ def test_embedding_dedup(ray_session):
     out = embedding_dedup_pairs(ds, "embedding", "vec_id", threshold=0.99).to_pandas()
     pairs = set(zip(out["a"], out["b"]))
     assert {(0, 20), (1, 21), (2, 22)} <= pairs
+
+
+def test_minhash_oversized_bucket_star_link(ray_session):
+    """Buckets above bucket_cap are star-linked through their min doc,
+    not dropped: a 4-identical-doc bucket with cap 2 must still produce
+    one 4-doc cluster (the star edges all verify at Jaccard 1)."""
+    from yago4_ray.dataops.dedup import minhash_dedup
+
+    same = "the quick brown fox jumps over the lazy dog in the morning sun"
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [same] * 4
+                + ["a completely different document about maritime history"],
+            }
+        )
+    )
+    out = minhash_dedup(ds, "text", "doc_id", bucket_cap=2).to_pandas()
+    clusters = dict(zip(out["doc_id"], out["cluster"]))
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_embedding_oversized_bucket_split(ray_session):
+    """Buckets above bucket_cap are recursively plane-split, not
+    dropped: with one hyperplane (2 giant buckets) and cap 8, planted
+    scalar-multiple dups (which share the sign of EVERY plane, so no
+    split can separate them) must all still be found."""
+    from yago4_ray.dataops.dedup import embedding_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[:5] * 1.05])
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": list(range(45)), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    out = embedding_dedup_pairs(
+        ds, "embedding", "vec_id", threshold=0.999, num_planes=1, bucket_cap=8
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert {(i, 40 + i) for i in range(5)} <= pairs
 
 
 def test_similarity_brute_vs_ivf(ray_session):

@@ -21,6 +21,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from ray.data import Dataset
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
@@ -308,29 +309,30 @@ def minhash_dedup(
     pairs = minhash_lsh_pairs(
         ds, text_col, id_col, keep_bucket_stats=True, **kwargs
     ).materialize()
-    n_star = pairs.map_batches(
-        lambda b: pd.DataFrame({"n": [int((b["oversized"] > 0).sum())]}),
-        batch_format="pandas",
-    ).sum("n")
-    if n_star:
-        print(
-            f"[minhash_dedup] {n_star} star-linked pairs from oversized "
-            "LSH buckets (bucket_cap exceeded)",
-            flush=True,
-        )
-    pairs = pairs.drop_columns(["oversized"])
     # the verify state is bounded by the CANDIDATE set, never the corpus:
     # (1) collect candidate IDS only (near-dup edge endpoints — 8-byte
-    #     hashes of them would also do; the strings are tiny),
+    #     hashes of them would also do; the strings are tiny) — the star
+    #     counter piggybacks on this same driver pass over the
+    #     materialized pair blocks (no extra execution),
     # (2) one broadcast-filtered corpus pass computes each candidate's
     #     sorted shingle array ONCE, kept distributed as a Dataset,
     # (3) two co-partitioned joins attach shingles to each pair side;
     #     verification is per part with np.intersect1d — no corpus text
     #     or shingle ever shuffles through the driver.
     cand_ids = set()
+    n_star = 0
     for batch in pairs.iter_batches(batch_format="pandas"):
         cand_ids.update(batch["a"])
         cand_ids.update(batch["b"])
+        n_star += int((batch["oversized"] > 0).sum())
+    if n_star:
+        print(
+            f"[minhash_dedup] {n_star} star-linked pairs from oversized "
+            "LSH buckets (bucket_cap exceeded)",
+            flush=True,
+        )
+    pairs_nbytes, pairs_nblocks = pairs.size_bytes(), pairs.num_blocks()
+    pairs = pairs.drop_columns(["oversized"])
     ids_ref = ray.put(cand_ids)
 
     def cand_shingles(b: pd.DataFrame) -> pd.DataFrame:
@@ -354,6 +356,20 @@ def minhash_dedup(
         )
 
     sh_ds = ds.map_batches(cand_shingles, batch_format="pandas").materialize()
+    # bound the blocks FEEDING the join shuffles: the corpus scan leaves
+    # one (near-empty) block per input block, and sort-shuffle cost is
+    # input blocks × output partitions (measured 10.4 s → 2.8 s at 64
+    # blocks/459 pairs). Volume-sized, so a huge candidate set still
+    # gets many blocks; the repartition is a no-sort block coalesce that
+    # executes inside the join run.
+    from ..sources import read_blocks_for_nbytes
+
+    n_blocks = read_blocks_for_nbytes(sh_ds.size_bytes() + pairs_nbytes)
+    n_parts = max(4, n_blocks)
+    if sh_ds.num_blocks() > n_blocks:
+        sh_ds = sh_ds.repartition(n_blocks)
+    if pairs_nblocks > n_blocks:
+        pairs = pairs.repartition(n_blocks)
     sh_a = sh_ds.map_batches(
         lambda b: b.rename(columns={"id": "a", "sh": "sh_a"}),
         batch_format="pandas",
@@ -362,12 +378,15 @@ def minhash_dedup(
         lambda b: b.rename(columns={"id": "b", "sh": "sh_b"}),
         batch_format="pandas",
     )
-    with_a = copartition_join(pairs, sh_a, "a", ["a", "b"], ["a", "sh_a"])
+    with_a = copartition_join(
+        pairs, sh_a, "a", ["a", "b"], ["a", "sh_a"], num_parts=n_parts
+    )
     with_both = copartition_join(
-        with_a, sh_b, "b", ["a", "b", "sh_a"], ["b", "sh_b"]
+        with_a, sh_b, "b", ["a", "b", "sh_a"], ["b", "sh_b"],
+        num_parts=n_parts,
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def verify(batch: pd.DataFrame) -> pa.Table:
         keep = np.zeros(len(batch), bool)
         for i, (sa_raw, sb_raw) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
             sa = np.frombuffer(sa_raw or b"", dtype=np.uint64)
@@ -378,7 +397,10 @@ def minhash_dedup(
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             keep[i] = inter / (union - inter) >= threshold
-        return batch[keep][["a", "b"]]
+        out = pa.Table.from_pandas(
+            batch[keep][["a", "b"]], preserve_index=False
+        )
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
 
     verified = with_both.map_batches(verify, batch_format="pandas").to_pandas()
     if "a" not in verified.columns:  # all-empty blocks carry no schema
@@ -643,6 +665,18 @@ def batch_word_ngram_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     return doc[keep], h[keep]
 
 
+def _distinct_char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, hash) of the DISTINCT byte k-shingles per text — the
+    MinHash shingle space (batch_shingle_hashes) with the per-doc dedup
+    the inverted index requires."""
+    doc_idx, h = batch_shingle_hashes(texts, k)
+    order = np.lexsort((h, doc_idx))
+    di, hh = doc_idx[order], h[order]
+    keep = np.ones(len(di), bool)
+    keep[1:] = (di[1:] != di[:-1]) | (hh[1:] != hh[:-1])
+    return di[keep], hh[keep]
+
+
 def ngram_jaccard_pairs(
     ds: Dataset,
     text_col: str,
@@ -651,9 +685,16 @@ def ngram_jaccard_pairs(
     threshold: tuple[int, int] = (1, 2),
     num_parts: int = 32,
     max_doc_freq: int | None = None,
+    shingle: str = "word",
 ) -> Dataset:
-    """EXACT all-pairs word-n-gram Jaccard ≥ threshold, as a distributed
-    shingle inverted index — three shuffles, no driver materialization:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold, as a distributed
+    shingle inverted index — three shuffles, no driver materialization.
+    `shingle="word"` uses word n-grams; `shingle="char"` uses the SAME
+    byte k-shingles as MinHash (batch_shingle_hashes), which makes this
+    operator the exact ground truth MinHash+LSH approximates — the
+    correctness gate for minhash/simhash clusters (tests/test_dataops).
+
+    Dataflow:
 
       docs → (id, shingle-hash, doc-shingle-count) rows
            → groupby(shingle): within-bucket id pairs, partial counts
@@ -670,8 +711,12 @@ def ngram_jaccard_pairs(
 
     p_num, p_den = threshold
 
+    hash_fn = (
+        batch_word_ngram_hashes if shingle == "word" else _distinct_char_shingles
+    )
+
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, h = batch_word_ngram_hashes(df[text_col].tolist(), n)
+        doc_idx, h = hash_fn(df[text_col].tolist(), n)
         cnt = np.bincount(doc_idx, minlength=len(df))
         return pd.DataFrame(
             {

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 from ray.data import Dataset
 
@@ -23,6 +24,23 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _stack(col, dtype=np.float32) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=dtype) for v in col])
+
+
+def _arrow_mat(col: "pa.ChunkedArray | pa.Array", dtype=np.float32) -> np.ndarray:
+    """(n, dim) matrix from an Arrow list<float> column WITHOUT a
+    per-row Python loop: flatten the list buffer (offset-aware) and
+    reshape — near-zero-copy for non-null fixed-dim embeddings. Ray's
+    tensor extension type (what a pandas stage upstream turns the
+    column into) already yields an (n, dim) ndarray from to_numpy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ExtensionArray):
+        mat = arr.to_numpy(zero_copy_only=False)
+        if mat.dtype == object:  # ragged fallback
+            mat = np.stack([np.asarray(v) for v in mat])
+        return np.asarray(mat, dtype=dtype)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    return flat.reshape(n, -1).astype(dtype, copy=False)
 
 
 def brute_force_topk(
@@ -41,13 +59,13 @@ def brute_force_topk(
     q = _normalize(np.asarray(queries, dtype=dtype))
     q_ref = ray.put(q)
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
         qm = get_broadcast(q_ref)
-        mat = _normalize(_stack(batch[vec_col], dtype))
+        mat = _normalize(_arrow_mat(batch.column(vec_col), dtype))
         sims = qm @ mat.T  # (n_queries, batch)
         if round_decimals is not None:
             sims = np.round(sims, round_decimals)
-        ids = batch[id_col].to_numpy()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         out = {"query_idx": [], "id": [], "cosine": []}
         kk = min(k, sims.shape[1])
         # local top-k per query (argpartition = O(n))
@@ -59,7 +77,7 @@ def brute_force_topk(
                 out["cosine"].append(float(sims[qi, j]))
         return pd.DataFrame(out)
 
-    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     # global reduce: tiny (n_queries × k × n_blocks rows)
     partials = partials.sort_values(
         ["query_idx", "cosine", "id"], ascending=[True, False, True]
@@ -85,10 +103,10 @@ def brute_force_pairs(
     mat_all = _normalize(_stack(df[vec_col], np.float64))
     ref = ray.put((ids_all, mat_all))
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+    def pairs(batch: pa.Table) -> pd.DataFrame:
         ids_a, mat = get_broadcast(ref)
-        bmat = _normalize(_stack(batch[vec_col], np.float64))
-        bids = batch[id_col].to_numpy()
+        bmat = _normalize(_arrow_mat(batch.column(vec_col), np.float64))
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = bmat @ mat.T  # (batch, all)
         hit_i, hit_j = np.nonzero(sims >= threshold)
         keep = bids[hit_i] < ids_a[hit_j]  # emit each pair once, a < b
@@ -96,7 +114,7 @@ def brute_force_pairs(
             {"a": bids[hit_i[keep]], "b": ids_a[hit_j[keep]]}
         )
 
-    return ds.map_batches(pairs, batch_format="pandas")
+    return ds.map_batches(pairs, batch_format="pyarrow")
 
 
 def fit_centroids(
@@ -142,23 +160,19 @@ def ivf_topk(
     centroids = fit_centroids(ds, n_centroids, vec_col, seed=seed)
     q = _normalize(np.asarray(queries, dtype=dtype))
     probe_lists = np.argsort(-(q @ centroids.astype(dtype).T), axis=1)[:, :nprobe]
-    allowed = [set(row.tolist()) for row in probe_lists]
-    state_ref = ray.put((q, centroids, allowed))
+    state_ref = ray.put((q, centroids, probe_lists))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        qm, cents, allow = get_broadcast(state_ref)
-        mat = _normalize(_stack(batch[vec_col], dtype=dtype))
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qm, cents, probes = get_broadcast(state_ref)
+        mat = _normalize(_arrow_mat(batch.column(vec_col), dtype=dtype))
         assign = (mat @ cents.astype(dtype).T).argmax(axis=1)
-        ids = batch[id_col].to_numpy()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = qm @ mat.T
         if round_decimals is not None:
             sims = np.round(sims, round_decimals)
         out = {"query_idx": [], "id": [], "cosine": []}
         for qi in range(len(qm)):
-            mask = np.fromiter(
-                (assign[j] in allow[qi] for j in range(len(ids))),
-                dtype=bool, count=len(ids),
-            )
+            mask = np.isin(assign, probes[qi])
             if not mask.any():
                 continue
             cand = np.where(mask)[0]
@@ -170,7 +184,7 @@ def ivf_topk(
                 out["cosine"].append(float(sims[qi, j]))
         return pd.DataFrame(out)
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     partials = partials.sort_values(
         ["query_idx", "cosine", "id"], ascending=[True, False, True]
     )

@@ -203,14 +203,20 @@ def copartition_join(
     lt = left.map_batches(tag(0, left_cols), batch_format="pyarrow")
     rt = right.map_batches(tag(1, right_cols), batch_format="pyarrow")
 
-    def join_part(t: pa.Table) -> pd.DataFrame:
+    def join_part(t: pa.Table) -> pa.Table:
         # split sides in Arrow BEFORE the pandas conversion: a typed
         # (e.g. int64) column keeps its dtype because the nulls the
-        # other side contributed are filtered out first
+        # other side contributed are filtered out first. The OUTPUT is
+        # Arrow too: pandas object blocks (especially empty ones) trip
+        # Ray's block size estimator and pickle strings downstream.
         side = t.column("__side")
         lhs = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
         rhs = t.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
-        return lhs.merge(rhs, on=keys, how=how)
+        merged = lhs.merge(rhs, on=keys, how=how)
+        out = pa.Table.from_pandas(merged, preserve_index=False)
+        return (
+            out.replace_schema_metadata(None) if out.schema.metadata else out
+        )
 
     return lt.union(rt).groupby("__part").map_groups(
         join_part, batch_format="pyarrow"

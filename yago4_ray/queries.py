@@ -26,10 +26,28 @@ from ray.data.aggregate import Count, Max, Min, Sum
 _CENTS = 100
 
 
+def _strip_meta(batch):
+    # the testdata parquet files carry pandas schema metadata (a dict);
+    # Ray's shuffle schema-dedup can't hash it ("unhashable type: 'dict'"
+    # in the logs) and keeps one schema copy per block — strip it at the
+    # read (zero-copy, fuses with the read tasks)
+    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    ).map_batches(_strip_meta, batch_format="pyarrow")
+
+
+def _lowest_rows(ds: Dataset, col: str, n: int) -> pd.DataFrame:
+    """The n rows with the smallest `col` values, by per-batch partial
+    nsmallest + a tiny driver reduce — a global `ds.sort(col).limit(n)`
+    is an all-to-all shuffle of the whole table for n rows."""
+    partials = ds.map_batches(
+        lambda b: b.nsmallest(n, col), batch_format="pandas"
+    ).to_pandas()
+    return partials.nsmallest(n, col).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +615,48 @@ SQL_ORACLES = {
         FROM planted a JOIN planted b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.e, b.e) >= 0.95
     """,
+    # MinHash+LSH clusters against the EXACT ground truth they
+    # approximate: char-5-shingle Jaccard >= 0.8 all-pairs (the same
+    # normalized byte-shingle space as dataops.dedup.batch_shingle_hashes),
+    # clustered by min-label over the undirected edge graph (recursive
+    # reachability). Deterministic: the seeded LSH catches every >=0.8
+    # pair on this corpus and the verify step is exact Jaccard, so the
+    # approximate pipeline must EQUAL the exact clustering.
+    "dedup_minhash_docs": r"""
+        WITH RECURSIVE norm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+            FROM norm
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS s
+            FROM idx
+        ),
+        cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS m
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT cm.a, cm.b FROM common cm
+            JOIN cnt ca ON ca.doc_id = cm.a
+            JOIN cnt cb ON cb.doc_id = cm.b
+            WHERE cm.m * 5 >= (ca.c + cb.c - cm.m) * 4
+        ),
+        bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        reach(n, r) AS (
+            SELECT a, a FROM bidir
+            UNION
+            SELECT bd.b, reach.r FROM reach JOIN bidir bd ON bd.a = reach.n
+        )
+        SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+        FROM reach GROUP BY n ORDER BY doc_id
+    """,
 }
 
 
@@ -748,7 +808,7 @@ def sim_topk_brute(sf_dir: str):
     from .dataops.similarity import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = ds.sort("vec_id").limit(4).to_pandas()
+    qdf = _lowest_rows(ds, "vec_id", 4)
     queries = np.stack(
         [np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]
     )
@@ -787,7 +847,7 @@ def sim_topk_ivf_full(sf_dir: str):
     from .dataops.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = ds.sort("vec_id").limit(4).to_pandas()
+    qdf = _lowest_rows(ds, "vec_id", 4)
     queries = np.stack(
         [np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]
     )
