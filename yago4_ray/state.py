@@ -168,6 +168,22 @@ class BuildState:
 # ST5: Wikidata → English Wikipedia
 # ---------------------------------------------------------------------------
 
+def _enwiki_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+    """(item, url, h) rows for en.wikipedia sitelinks in a schema:about
+    batch (the shared kernel of build_enwiki_mapping and the fused
+    single-scan reduction)."""
+    urls = batch["subject"].str.slice(1, -1)
+    mask = urls.str.startswith(ENWIKI_PREFIX) & batch["subject"].str.startswith("<")
+    out = batch[mask]
+    return pd.DataFrame(
+        {
+            "item": out["object"],
+            "url": urls[mask],
+            "h": _hash_series(out["object"]),
+        }
+    )
+
+
 def build_enwiki_mapping(root: str) -> tuple["HashedMap", Dataset]:
     """schema:about sitelinks restricted to en.wikipedia (plan.rs:206-223).
     Returns (driver HashedMap, (item, url) Dataset) — the Dataset is the
@@ -179,19 +195,7 @@ def build_enwiki_mapping(root: str) -> tuple["HashedMap", Dataset]:
 
     ds = scan_predicate(root, T.SCHEMA_ABOUT)
 
-    def extract(batch: pd.DataFrame) -> pd.DataFrame:
-        urls = batch["subject"].str.slice(1, -1)
-        mask = urls.str.startswith(ENWIKI_PREFIX) & batch["subject"].str.startswith("<")
-        out = batch[mask]
-        return pd.DataFrame(
-            {
-                "item": out["object"],
-                "url": urls[mask],
-                "h": _hash_series(out["object"]),
-            }
-        )
-
-    pairs_ds = ds.map_batches(extract, batch_format="pandas").materialize()
+    pairs_ds = ds.map_batches(_enwiki_pairs, batch_format="pandas").materialize()
     tbl = pa.concat_tables(
         ray.get(pairs_ds.to_arrow_refs()), promote_options="permissive"
     )
@@ -202,6 +206,70 @@ def build_enwiki_mapping(root: str) -> tuple["HashedMap", Dataset]:
 # ---------------------------------------------------------------------------
 # ST2: Wikidata → YAGO URI mapping (priority merge as ONE groupby)
 # ---------------------------------------------------------------------------
+
+def _wiki_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+    """Priority-1 URI candidates from a schema:about batch: the enwiki
+    title becomes the YAGO IRI (plan.rs:300-320). Vectorized fast path:
+    titles that are pure ipchar with no percent-escapes skip the
+    decode/encode round trip entirely."""
+    urls = batch["subject"].str.slice(1, -1)
+    mask = urls.str.startswith(ENWIKI_PREFIX)
+    items_col = batch.loc[mask, "object"]
+    titles = urls[mask].str.slice(len(ENWIKI_PREFIX))
+    simple = (~titles.str.contains("%", regex=False)) & titles.str.match(
+        T.IPCHAR_OR_SPACE_RE
+    )
+    fast = "<" + T.YAGO_RESOURCE_PREFIX + titles.str.replace(" ", "_") + ">"
+    uris = fast.where(
+        simple,
+        titles.map(
+            lambda t: T.iri(
+                T.YAGO_RESOURCE_PREFIX + T.encode_iri_path(unquote(t))
+            )
+        ),
+    )
+    return pd.DataFrame(
+        {
+            "item": items_col,
+            "priority": 1,
+            "uri": uris,
+            "h": _hash_series(items_col),
+        }
+    )
+
+
+def _label_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+    """Priority-2 URI candidates from a skos:prefLabel batch: English
+    label + _Q{id} (plan.rs:322-341); vectorized qid extract + encode
+    fast path."""
+    mask = batch["object"].str.endswith('"@en')
+    sub = batch[mask]
+    qids = sub["subject"].str.extract(
+        r"^<http://www\.wikidata\.org/entity/(Q[0-9]+)>$", expand=False
+    )
+    keep = qids.notna()
+    sub = sub[keep]
+    qids = qids[keep]
+    values = sub["object"].str.slice(1, -4)  # strip quotes + @en
+    simple = (~values.str.contains("\\", regex=False)) & values.str.match(
+        T.IPCHAR_OR_SPACE_RE
+    )
+    encoded = values.str.replace(" ", "_").where(
+        simple,
+        values.map(
+            lambda v: T.encode_iri_path(T.literal_value(f'"{v}"'))
+        ),
+    )
+    uris = "<" + T.YAGO_RESOURCE_PREFIX + encoded + "_" + qids + ">"
+    return pd.DataFrame(
+        {
+            "item": sub["subject"],
+            "priority": 2,
+            "uri": uris,
+            "h": _hash_series(sub["subject"]),
+        }
+    )
+
 
 def merge_uri_candidates_arrow(tbl: "pa.Table") -> "pa.Table":
     """Vectorized priority merge over complete item groups: per
@@ -392,68 +460,11 @@ def build_uri_mapping(
     # priority 1: enwiki titles — vectorized fast path: titles that are
     # pure ipchar with no percent-escapes skip decode/encode entirely
     sitelinks = scan_predicate(root, T.SCHEMA_ABOUT)
-
-    def wiki_candidates(batch: pd.DataFrame) -> pd.DataFrame:
-        urls = batch["subject"].str.slice(1, -1)
-        mask = urls.str.startswith(ENWIKI_PREFIX)
-        items_col = batch.loc[mask, "object"]
-        titles = urls[mask].str.slice(len(ENWIKI_PREFIX))
-        simple = (~titles.str.contains("%", regex=False)) & titles.str.match(
-            T.IPCHAR_OR_SPACE_RE
-        )
-        fast = "<" + T.YAGO_RESOURCE_PREFIX + titles.str.replace(" ", "_") + ">"
-        uris = fast.where(
-            simple,
-            titles.map(
-                lambda t: T.iri(
-                    T.YAGO_RESOURCE_PREFIX + T.encode_iri_path(unquote(t))
-                )
-            ),
-        )
-        return pd.DataFrame(
-            {
-                "item": items_col,
-                "priority": 1,
-                "uri": uris,
-                "h": _hash_series(items_col),
-            }
-        )
-
-    wiki_rows = sitelinks.map_batches(wiki_candidates, batch_format="pandas")
+    wiki_rows = sitelinks.map_batches(_wiki_candidates, batch_format="pandas")
 
     # priority 2: english labels — vectorized qid extract + encode fast path
     labels = scan_predicate(root, T.SKOS_PREF_LABEL)
-
-    def label_candidates(batch: pd.DataFrame) -> pd.DataFrame:
-        mask = batch["object"].str.endswith('"@en')
-        sub = batch[mask]
-        qids = sub["subject"].str.extract(
-            r"^<http://www\.wikidata\.org/entity/(Q[0-9]+)>$", expand=False
-        )
-        keep = qids.notna()
-        sub = sub[keep]
-        qids = qids[keep]
-        values = sub["object"].str.slice(1, -4)  # strip quotes + @en
-        simple = (~values.str.contains("\\", regex=False)) & values.str.match(
-            T.IPCHAR_OR_SPACE_RE
-        )
-        encoded = values.str.replace(" ", "_").where(
-            simple,
-            values.map(
-                lambda v: T.encode_iri_path(T.literal_value(f'"{v}"'))
-            ),
-        )
-        uris = "<" + T.YAGO_RESOURCE_PREFIX + encoded + "_" + qids + ">"
-        return pd.DataFrame(
-            {
-                "item": sub["subject"],
-                "priority": 2,
-                "uri": uris,
-                "h": _hash_series(sub["subject"]),
-            }
-        )
-
-    label_rows = labels.map_batches(label_candidates, batch_format="pandas")
+    label_rows = labels.map_batches(_label_candidates, batch_format="pandas")
 
     from .joins import partitioned_group_apply
 
@@ -567,6 +578,199 @@ def collect_instance_counts(root: str) -> dict[str, int]:
         lambda pdf: pdf.groupby("object", as_index=False).agg(n=("n", "sum")),
     ).to_pandas()
     return dict(zip(counts_df["object"], counts_df["n"]))
+
+
+# fused-reduction row kinds (routing column of the single-scan job)
+_K_MARKER, _K_WIKI, _K_LABEL, _K_ENWIKI, _K_P279, _K_COUNT = range(6)
+
+
+def collect_input_reductions(
+    root: str,
+    schema: Schema,
+    stats: Stats,
+    size: str = "full",
+):
+    """Every driver-scale input reduction in ONE store scan: URI-mapping
+    candidates (markers + wiki + label), enwiki sitelink pairs, P279
+    edges and per-class P31 instance counts, routed by predicate inside
+    one map_batches and split by a `kind` column on the driver.
+
+    Replaces four CONCURRENT Ray jobs (build_enwiki_mapping,
+    build_uri_mapping, collect_p279_edges, collect_instance_counts) that
+    contended for the same CPUs — the URI candidate scan alone measured
+    7.9 s solo but 15.0 s under the 4-way overlap at 22 M statements /
+    32 CPUs — scans the schema:about partition once instead of twice,
+    and turns the P31 count reduce into per-batch partials summed on the
+    driver (class-graph scale) instead of a shuffle.
+
+    Returns (uri_mapping, uri_ds, enwiki_mapping, enwiki_ds, p279_edges,
+    instance_counts) with content identical to the four separate
+    builders (the merge kernel and candidate kernels are shared).
+    """
+    import pyarrow.compute as pc
+
+    from .broadcast import HashedMap
+
+    p279_pred = f"<{T.WDT}P279>"
+    p31_pred = f"<{T.WDT}P31>"
+    preds = [T.SCHEMA_ABOUT, T.SKOS_PREF_LABEL, p279_pred, p31_pred]
+    if size == "full":
+        preds.append(T.RDF_TYPE)
+    needle = ENWIKI_PREFIX if size == "en-wikipedia" else ".wikipedia.org/wiki/"
+
+    _zero_h = np.zeros(0, dtype=np.uint64)
+
+    def _unified(kind: int, item, uri=None, n=None, h=None) -> pd.DataFrame:
+        df = pd.DataFrame({"item": np.asarray(item, dtype=object)})
+        df.insert(0, "kind", np.int8(kind))
+        df["uri"] = (
+            np.asarray(uri, dtype=object) if uri is not None else ""
+        )
+        df["n"] = np.asarray(n, dtype=np.int64) if n is not None else np.int64(0)
+        df["h"] = (
+            np.asarray(h, dtype=np.uint64)
+            if h is not None
+            else np.zeros(len(df), dtype=np.uint64)
+        )
+        return df
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        outs: list[pd.DataFrame] = []
+        for pred, g in batch.groupby("predicate", sort=False):
+            if pred == T.RDF_TYPE:
+                items = g.loc[g["object"] == T.WIKIBASE_ITEM, "subject"]
+                outs.append(_unified(_K_MARKER, items, h=_hash_series(items)))
+            elif pred == T.SCHEMA_ABOUT:
+                wiki = _wiki_candidates(g)
+                outs.append(
+                    _unified(_K_WIKI, wiki["item"], uri=wiki["uri"], h=wiki["h"])
+                )
+                pairs = _enwiki_pairs(g)
+                outs.append(
+                    _unified(
+                        _K_ENWIKI, pairs["item"], uri=pairs["url"], h=pairs["h"]
+                    )
+                )
+                if size != "full":
+                    mask = g["subject"].str.contains(needle, regex=False)
+                    items = g.loc[mask, "object"]
+                    outs.append(
+                        _unified(_K_MARKER, items, h=_hash_series(items))
+                    )
+            elif pred == T.SKOS_PREF_LABEL:
+                lab = _label_candidates(g)
+                outs.append(
+                    _unified(_K_LABEL, lab["item"], uri=lab["uri"], h=lab["h"])
+                )
+            elif pred == p279_pred:
+                outs.append(_unified(_K_P279, g["subject"], uri=g["object"]))
+            elif pred == p31_pred:
+                # per-batch combiner partials: store rows are globally
+                # distinct, so batch-level nunique partials sum exactly
+                # (collect_instance_counts' own argument)
+                partial = g.groupby("object", as_index=False).agg(
+                    n=("subject", "nunique")
+                )
+                outs.append(
+                    _unified(_K_COUNT, partial["object"], n=partial["n"])
+                )
+        if not outs:
+            return _unified(_K_MARKER, [])
+        return pd.concat(outs, ignore_index=True)
+
+    rows = scan_predicate(root, preds).map_batches(route, batch_format="pandas")
+    tbl = pa.concat_tables(
+        ray.get(rows.to_arrow_refs()), promote_options="permissive"
+    )
+    kind_col = tbl.column("kind")
+
+    def part(k: int) -> pa.Table:
+        return tbl.filter(pc.equal(kind_col, k))
+
+    # --- enwiki mapping ---
+    etbl = part(_K_ENWIKI)
+    enwiki_mapping = HashedMap.from_arrow(
+        etbl["item"], etbl["uri"], hashes=etbl["h"]
+    )
+    enwiki_ds = ray.data.from_arrow(
+        etbl.select(["item", "uri"]).rename_columns(["item", "url"])
+    )
+
+    # --- P279 edges (class-graph scale, driver) ---
+    ptbl = part(_K_P279)
+    p279_edges = list(zip(ptbl["item"].to_pylist(), ptbl["uri"].to_pylist()))
+
+    # --- per-class instance counts: sum the batch partials in C++ ---
+    ctbl = part(_K_COUNT)
+    csum = pa.TableGroupBy(ctbl.select(["item", "n"]), "item").aggregate(
+        [("n", "sum")]
+    )
+    instance_counts = dict(
+        zip(csum["item"].to_pylist(), csum["n_sum"].to_pylist())
+    )
+
+    # --- URI mapping: the 4-source priority merge (plan.rs:227-382) ---
+    from_schema: dict[str, str] = {}
+    for shape in schema.node_shapes():
+        for from_class in shape.from_classes:
+            from_schema[from_class] = shape.target_class
+    schema_tbl = pa.table(
+        {
+            "item": pa.array(list(from_schema), pa.string()),
+            "priority": pa.array([0] * len(from_schema), pa.int64()),
+            "uri": pa.array(list(from_schema.values()), pa.string()),
+            "h": pa.array(
+                _hash_series(list(from_schema)) if from_schema else _zero_h,
+                pa.uint64(),
+            ),
+        }
+    )
+    mandatory = sorted(T.MANDATORY_WD_ITEMS)
+    mandatory_tbl = pa.table(
+        {
+            "item": pa.array(mandatory, pa.string()),
+            "priority": pa.array([99] * len(mandatory), pa.int64()),
+            "uri": pa.array([""] * len(mandatory), pa.string()),
+            "h": pa.array(_hash_series(mandatory), pa.uint64()),
+        }
+    )
+
+    def _with_priority(t: pa.Table, p: int) -> pa.Table:
+        return pa.table(
+            {
+                "item": t["item"],
+                "priority": pa.array(
+                    np.full(t.num_rows, p, dtype=np.int64), pa.int64()
+                ),
+                "uri": t["uri"],
+                "h": t["h"],
+            }
+        )
+
+    cand = pa.concat_tables(
+        [
+            schema_tbl,
+            _with_priority(part(_K_WIKI), 1),
+            _with_priority(part(_K_LABEL), 2),
+            _with_priority(part(_K_MARKER), 99),
+            mandatory_tbl,
+        ],
+        promote_options="permissive",
+    )
+    out_tbl = merge_uri_candidates_arrow(cand)
+    uri_mapping = HashedMap.from_arrow(
+        out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
+    )
+    uri_ds = ray.data.from_arrow(out_tbl.select(["item", "uri"]))
+    stats.set_global("Total URI mapping size", len(uri_mapping))
+    return (
+        uri_mapping,
+        uri_ds,
+        enwiki_mapping,
+        enwiki_ds,
+        p279_edges,
+        instance_counts,
+    )
 
 
 def build_class_machinery(
@@ -880,42 +1084,55 @@ def build_state(
             >= DISTRIBUTED_STATE_THRESHOLD
             or _os.environ.get("YAGO4_RAY_DISTRIBUTED_STATE") == "1"
         )
-    uri_strategy = "distributed" if distributed else "driver"
-    # the four input reductions are independent — run them as concurrent
-    # Ray Data executions (the reference overlaps its state builds with
-    # threads too, plan.rs:908-1032)
-    with _cf.ThreadPoolExecutor(max_workers=4) as pool:
-        f_enwiki = pool.submit(build_enwiki_mapping, statements_root)
-        f_uri = pool.submit(
-            build_uri_mapping, statements_root, schema, stats, size, uri_strategy
-        )
-        f_p279 = pool.submit(collect_p279_edges, statements_root)
-        f_counts = pool.submit(collect_instance_counts, statements_root)
-        enwiki_mapping, enwiki_ds = f_enwiki.result()
-        uri_mapping, uri_ds = f_uri.result()
-        prewarmed: dict = {}
-        uri_packed: "ray.ObjectRef | None" = None
-        if not distributed:
-            # the clean-value scan needs ONLY the URI broadcast and the
-            # best-rank scan only the store — start both NOW so they
-            # overlap class machinery + shape-instance resolution
-            # instead of serializing behind them in build_facts
-            from . import build as B  # deferred: build imports state
+    prewarmed: dict = {}
+    uri_packed: "ray.ObjectRef | None" = None
+    if not distributed:
+        # ONE fused scan job over the union of the state-input predicate
+        # partitions — four concurrent jobs contended for the same CPUs
+        # (see collect_input_reductions)
+        (
+            uri_mapping,
+            uri_ds,
+            enwiki_mapping,
+            enwiki_ds,
+            p279_edges,
+            instance_counts,
+        ) = collect_input_reductions(statements_root, schema, stats, size)
+        # the clean-value scan needs ONLY the URI broadcast and the
+        # best-rank scan only the store — start both NOW so they
+        # overlap class machinery + shape-instance resolution
+        # instead of serializing behind them in build_facts
+        from . import build as B  # deferred: build imports state
 
-            uri_packed = ray.put(uri_mapping)
-            _pre_pool = _cf.ThreadPoolExecutor(max_workers=2)
-            prewarmed = {
-                "clean_maps": _pre_pool.submit(
-                    B.build_clean_hmms_from_ref, statements_root, uri_packed,
-                    stats,
-                ),
-                "best_rank": _pre_pool.submit(
-                    B.best_rank_hashed_set, statements_root
-                ),
-            }
-            _pre_pool.shutdown(wait=False)
-        p279_edges = f_p279.result()
-        instance_counts = f_counts.result()
+        uri_packed = ray.put(uri_mapping)
+        _pre_pool = _cf.ThreadPoolExecutor(max_workers=2)
+        prewarmed = {
+            "clean_maps": _pre_pool.submit(
+                B.build_clean_hmms_from_ref, statements_root, uri_packed,
+                stats,
+            ),
+            "best_rank": _pre_pool.submit(
+                B.best_rank_hashed_set, statements_root
+            ),
+        }
+        _pre_pool.shutdown(wait=False)
+    else:
+        # distributed state: the URI merge is a shuffle groupby, not a
+        # driver merge — keep the reductions as separate concurrent jobs
+        # (the reference overlaps its state builds with threads too,
+        # plan.rs:908-1032)
+        with _cf.ThreadPoolExecutor(max_workers=4) as pool:
+            f_enwiki = pool.submit(build_enwiki_mapping, statements_root)
+            f_uri = pool.submit(
+                build_uri_mapping, statements_root, schema, stats, size,
+                "distributed",
+            )
+            f_p279 = pool.submit(collect_p279_edges, statements_root)
+            f_counts = pool.submit(collect_instance_counts, statements_root)
+            enwiki_mapping, enwiki_ds = f_enwiki.result()
+            uri_mapping, uri_ds = f_uri.result()
+            p279_edges = f_p279.result()
+            instance_counts = f_counts.result()
     _mark("input-reductions (enwiki+uri+p279+counts)")
     stats.set_global(
         "Wikidata items mapped to English Wikipedia articles", len(enwiki_mapping)
