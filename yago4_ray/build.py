@@ -35,9 +35,9 @@ from ray.data import Dataset
 from . import cleaners as C
 from . import terms as T
 from .joins import (
+    copartition_join,
     distinct_rows,
     get_broadcast,
-    hash_join,
     partitions_for_nbytes,
 )
 from .schema import PropertyShape, Schema
@@ -593,11 +593,17 @@ def build_facts(
         subjects = _subject_side(root, configs, refs)
         objects = _object_side(root, configs, refs, T.PS_PREFIX, T.PSV_PREFIX)
 
-    joined = hash_join(
+    # task-based co-partitioned join: ONE Arrow exchange fed directly by
+    # the (lazy) subject/object scan stages — the native Dataset.join
+    # here spawned num_partitions CPU-reserving aggregator actors (~1 s
+    # startup each) and shuffled both sides separately
+    joined = copartition_join(
         subjects,
         objects,
         on=("cfg", "statement"),
-        num_partitions=num_partitions,
+        left_cols=["cfg", "statement", "subject"],
+        right_cols=["cfg", "statement", "object", "extras"],
+        num_parts=num_partitions,
     )
     joined = _apply_max_count(joined, configs)
 
@@ -610,22 +616,30 @@ def build_facts(
     path_ref = ray.put(cfg_path)
 
     def to_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: the base triple is a column projection; only the
+        # (rare) complex-value rows with JSON extras take the Python loop
         paths = get_broadcast(path_ref)
+        base = pd.DataFrame(
+            {
+                "subject": batch["subject"].to_numpy(),
+                "predicate": batch["cfg"].map(paths).to_numpy(),
+                "object": batch["object"].to_numpy(),
+            }
+        )
+        extras_col = batch["extras"].fillna("").to_numpy()
+        ex_mask = extras_col != ""
+        if not ex_mask.any():
+            return base
         subjects_out, predicates_out, objects_out = [], [], []
-        for cfg, subject, obj, extras in zip(
-            batch["cfg"], batch["subject"], batch["object"], batch["extras"]
-        ):
-            subjects_out.append(subject)
-            predicates_out.append(paths[cfg])
-            objects_out.append(obj)
-            if extras:
-                for s, p, o in json.loads(extras):
-                    subjects_out.append(s)
-                    predicates_out.append(p)
-                    objects_out.append(o)
-        return pd.DataFrame(
+        for extras in extras_col[ex_mask]:
+            for s, p, o in json.loads(extras):
+                subjects_out.append(s)
+                predicates_out.append(p)
+                objects_out.append(o)
+        extra = pd.DataFrame(
             {"subject": subjects_out, "predicate": predicates_out, "object": objects_out}
         )
+        return pd.concat([base, extra], ignore_index=True)
 
     facts = joined.map_batches(to_triples, batch_format="pandas")
     if dedup:
@@ -659,33 +673,44 @@ def build_facts(
             lambda b: b[["statement", "cfg", "subject", "object"]],
             batch_format="pandas",
         )
-        ann_joined = hash_join(
-            kept, annotations, on="statement", num_partitions=num_partitions
+        ann_joined = copartition_join(
+            kept,
+            annotations,
+            on="statement",
+            left_cols=["statement", "cfg", "subject", "object"],
+            right_cols=["statement", "ann_pred", "ann_obj", "ann_extras"],
+            num_parts=num_partitions,
         )
 
         def to_annotated(batch: pd.DataFrame) -> pd.DataFrame:
+            # vectorized like to_triples: base rows project straight from
+            # columns; only rows with JSON ann_extras loop
             paths = get_broadcast(path_ref)
+            base = pd.DataFrame(
+                {
+                    "subject": batch["subject"].to_numpy(),
+                    "predicate": batch["cfg"].map(paths).to_numpy(),
+                    "object": batch["object"].to_numpy(),
+                    "annotation_predicate": batch["ann_pred"].to_numpy(),
+                    "annotation_object": batch["ann_obj"].to_numpy(),
+                }
+            )
+            extras_col = batch["ann_extras"].fillna("").to_numpy()
+            ex_mask = extras_col != ""
+            if not ex_mask.any():
+                return base
             out = {
                 "subject": [], "predicate": [], "object": [],
                 "annotation_predicate": [], "annotation_object": [],
             }
-            for cfg, subject, obj, ann_pred, ann_obj, ann_extras in zip(
-                batch["cfg"], batch["subject"], batch["object"],
-                batch["ann_pred"], batch["ann_obj"], batch["ann_extras"],
-            ):
-                out["subject"].append(subject)
-                out["predicate"].append(paths[cfg])
-                out["object"].append(obj)
-                out["annotation_predicate"].append(ann_pred)
-                out["annotation_object"].append(ann_obj)
-                if ann_extras:
-                    for s, p, o in json.loads(ann_extras):
-                        out["subject"].append(s)
-                        out["predicate"].append(p)
-                        out["object"].append(o)
-                        out["annotation_predicate"].append("")
-                        out["annotation_object"].append("")
-            return pd.DataFrame(out)
+            for ann_extras in extras_col[ex_mask]:
+                for s, p, o in json.loads(ann_extras):
+                    out["subject"].append(s)
+                    out["predicate"].append(p)
+                    out["object"].append(o)
+                    out["annotation_predicate"].append("")
+                    out["annotation_object"].append("")
+            return pd.concat([base, pd.DataFrame(out)], ignore_index=True)
 
         annotated = ann_joined.map_batches(to_annotated, batch_format="pandas")
         if dedup:
@@ -1291,20 +1316,21 @@ def generate_yago(
     import os
 
     from .checkpoint import is_complete
-    from .sources import MultiNTriplesGzDatasink, write_ntriples
+    from .sources import MultiNTriplesGzDatasink
 
     os.makedirs(out_dir, exist_ok=True)
     lineage = output_lineage(statements_root, state)
-    ann_dir = os.path.join(out_dir, OUTPUT_FILE_NAMES["annotated-facts"])
     # partial resume: only outputs without a valid manifest are rewritten
-    # (the sink ignores rows of files not in its name map)
+    # (the sink ignores rows of files not in its name map). The
+    # annotated-facts (RDF*) output rides the SAME staged dedup+write job
+    # as the 8 triple outputs — its rows carry the two annotation columns
+    # (empty on plain triples) and the sink formats/extensions per tag.
     triple_names = {
         k: v
         for k, v in OUTPUT_FILE_NAMES.items()
-        if k != "annotated-facts"
-        and not is_complete(os.path.join(out_dir, v), lineage)
+        if not is_complete(os.path.join(out_dir, v), lineage)
     }
-    if not triple_names and is_complete(ann_dir, lineage):
+    if not triple_names:
         return {}  # resume: everything already written from this input
 
     # Staged materialization: the 9 raw output pipelines run as
@@ -1335,11 +1361,23 @@ def generate_yago(
     stage_dir = os.path.join(out_dir, ".stage")
     shutil.rmtree(stage_dir, ignore_errors=True)
 
+    # one staging schema for all outputs (fixed column order so the
+    # combined read's schema unification is trivial); plain triples
+    # carry empty annotation columns — constant strings RLE-compress to
+    # ~nothing in the staged parquet
+    _STAGE_COLS = [
+        "file", "subject", "predicate", "object",
+        "annotation_predicate", "annotation_object",
+    ]
+
     def tag(name):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             batch["file"] = name
-            return batch
+            if "annotation_predicate" not in batch.columns:
+                batch["annotation_predicate"] = ""
+                batch["annotation_object"] = ""
+            return batch[_STAGE_COLS]
 
         return fn
 
@@ -1360,7 +1398,8 @@ def generate_yago(
     # consumer is its own staging job, which waits for the join).
     from .sources import store_nbytes
 
-    wide_input = store_nbytes(statements_root) > 256 * 1024 * 1024
+    _store_bytes = store_nbytes(statements_root)
+    wide_input = _store_bytes > 256 * 1024 * 1024
     stage_workers = 1 if wide_input else 8
     with _cf.ThreadPoolExecutor(max_workers=max(stage_workers, 1) + 2) as pool:
         # the facts pipeline (broadcast-state + statement join) runs in
@@ -1382,43 +1421,26 @@ def generate_yago(
             _mark("stage-others (overlapping facts join)")
             facts, annotated = f_facts.result()
             _mark("facts-join")
-            ann_future = None
-            if not is_complete(ann_dir, lineage):
-                ann_sorted = distinct_rows(
-                    annotated,
-                    ["subject", "predicate", "object",
-                     "annotation_predicate", "annotation_object"],
-                )
-                ann_future = pool.submit(
-                    write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
-                )
+            stage_one("annotated-facts", annotated)
             stage_one("facts", facts)
-            _mark("stage-facts")
+            _mark("stage-facts+annotated")
         else:
-            facts, annotated = f_facts.result()
-            _mark("facts-join")
-            ann_future = None
-            if not is_complete(ann_dir, lineage):
-                ann_sorted = distinct_rows(
-                    annotated,
-                    ["subject", "predicate", "object",
-                     "annotation_predicate", "annotation_object"],
-                )
-                ann_future = pool.submit(
-                    write_ntriples, ann_sorted, ann_dir, True, lineage, ".ntx.gz"
-                )
+            # the 7 non-facts outputs don't depend on the join — their
+            # staging jobs run UNDER it; facts/annotated staging join in
+            # as soon as the join resolves
             futures = [
-                pool.submit(stage_one, name, ds)
-                for name, ds in {**others, "facts": facts}.items()
+                pool.submit(stage_one, name, ds) for name, ds in others.items()
+            ]
+            facts, annotated = f_facts.result()
+            _mark("facts-join (overlapping other staging)")
+            futures += [
+                pool.submit(stage_one, "facts", facts),
+                pool.submit(stage_one, "annotated-facts", annotated),
             ]
             for f in futures:
                 f.result()
             _mark("stage-triples")
 
-        # the annotated gz write is an independent output dir — it keeps
-        # running UNDER the combined dedup+gz job below and is drained
-        # after it (waiting here would serialize ~an ann-write behind
-        # the staging for nothing)
         staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
         # dedup partition count sized to the actual staged bytes (a fixed
         # count means unbounded per-partition frames as outputs grow)
@@ -1437,17 +1459,17 @@ def generate_yago(
                     n_read_blocks if len(staged_files) > n_read_blocks else None
                 ),
             ),
-            ["file", "subject", "predicate", "object"],
+            _STAGE_COLS,  # full key incl. annotation columns ("" on triples)
             num_parts=max(32, partitions_for_nbytes(staged_bytes)),
             keep_part_column=True,  # deterministic part-file naming in the sink
         )
         combined.write_datasink(
-            MultiNTriplesGzDatasink(out_dir, triple_names, lineage=lineage)
+            MultiNTriplesGzDatasink(
+                out_dir, triple_names, lineage=lineage,
+                extensions={"annotated-facts": ".ntx.gz"},
+            )
         )
         _mark("dedup+gz-write")
-        if ann_future is not None:
-            ann_future.result()
-        _mark("annotated-write-drain")
     shutil.rmtree(stage_dir, ignore_errors=True)
     state.stats.write(os.path.join(out_dir, "stats.tsv"))
     return {"combined": combined, "annotated-facts": annotated}

@@ -317,34 +317,67 @@ class NTriplesGzDatasink(Datasink):
         wall = time.perf_counter() - (self._start or time.perf_counter())
         write_manifest(self.path, self.lineage, write_result.num_rows, wall)
 
+    @staticmethod
+    def _lines(df) -> "pd.Series":
+        plain = (
+            df["subject"] + "\t" + df["predicate"]
+            + "\t" + df["object"] + "\t."
+        )
+        if "annotation_predicate" in df.columns:
+            starred = (
+                "<<\t" + df["subject"] + "\t" + df["predicate"]
+                + "\t" + df["object"] + "\t>>\t"
+                + df["annotation_predicate"] + "\t"
+                + df["annotation_object"] + "\t."
+            )
+            return plain.where(df["annotation_predicate"] == "", starred)
+        return plain
+
     def write(self, blocks, ctx):
-        idx = ctx.task_idx
-        out = os.path.join(self.path, f"part-{idx:05d}{self.extension}")
-        tmp = out + ".tmp"
-        with gzip.open(tmp, "wt", encoding="utf-8", compresslevel=1) as f:
+        writers: dict[int, object] = {}
+        tmp_paths: dict[int, tuple[str, str]] = {}
+
+        def _writer(part_id: int):
+            if part_id not in writers:
+                out = os.path.join(
+                    self.path, f"part-{part_id:05d}{self.extension}"
+                )
+                tmp = out + ".tmp"
+                tmp_paths[part_id] = (tmp, out)
+                writers[part_id] = gzip.open(
+                    tmp, "wt", encoding="utf-8", compresslevel=1
+                )
+            return writers[part_id]
+
+        try:
             for block in blocks:
                 table = BlockAccessor.for_block(block).to_arrow()
                 names = table.column_names
                 if table.num_rows == 0 or "subject" not in names:
                     continue  # empty shuffle partitions carry no schema
-                annotated = "annotation_predicate" in names
                 df = table.to_pandas()
-                plain = (
-                    df["subject"] + "\t" + df["predicate"]
-                    + "\t" + df["object"] + "\t."
-                )
-                if annotated:
-                    starred = (
-                        "<<\t" + df["subject"] + "\t" + df["predicate"]
-                        + "\t" + df["object"] + "\t>>\t"
-                        + df["annotation_predicate"] + "\t"
-                        + df["annotation_object"] + "\t."
-                    )
-                    lines = plain.where(df["annotation_predicate"] == "", starred)
+                if "__part" in names:
+                    # rows carry a deterministic hash-partition id: sort
+                    # WITHIN each part and name its file by the id —
+                    # byte-identical reruns without a global range sort
+                    # (the same scheme as MultiNTriplesGzDatasink)
+                    keys = [
+                        c
+                        for c in ("subject", "predicate", "object",
+                                  "annotation_predicate", "annotation_object")
+                        if c in names
+                    ]
+                    for pid, group in df.groupby("__part", sort=False):
+                        lines = self._lines(group.sort_values(keys))
+                        _writer(int(pid)).write("\n".join(lines) + "\n")
                 else:
-                    lines = plain
-                f.write("\n".join(lines) + "\n")
-        os.replace(tmp, out)  # atomic per-partition write → resumable
+                    lines = self._lines(df)
+                    _writer(ctx.task_idx).write("\n".join(lines) + "\n")
+        finally:
+            for f in writers.values():
+                f.close()
+        for tmp, out in tmp_paths.values():
+            os.replace(tmp, out)  # atomic per-partition write → resumable
         return "ok"
 
 
@@ -366,10 +399,14 @@ class MultiNTriplesGzDatasink(Datasink):
     checkpoint manifests are committed on completion."""
 
     def __init__(self, base_dir: str, file_names: dict[str, str],
-                 lineage: str | None = None):
+                 lineage: str | None = None,
+                 extensions: dict[str, str] | None = None):
         self.base_dir = base_dir
         self.file_names = file_names  # file tag → directory name
         self.lineage = lineage
+        # per-tag extension override (RDF* outputs use .ntx.gz like the
+        # reference's yago-wd-annotated-facts.ntx.gz, plan.rs:170)
+        self.extensions = extensions or {}
         self._start = None
 
     def on_write_start(self):
@@ -390,17 +427,20 @@ class MultiNTriplesGzDatasink(Datasink):
                 table = BlockAccessor.for_block(block).to_arrow()
                 if table.num_rows == 0 or "file" not in table.column_names:
                     continue
-                cols = ["file", "subject", "predicate", "object"]
+                names_ = table.column_names
+                sort_cols = [
+                    c
+                    for c in ("file", "subject", "predicate", "object",
+                              "annotation_predicate", "annotation_object")
+                    if c in names_
+                ]
                 # deterministic part naming: rows carry the dedup
                 # shuffle's partition id (__part); a part value lives in
                 # exactly one group, so files named by it are stable
                 # across reruns regardless of task scheduling
-                has_part = "__part" in table.column_names
-                if has_part:
-                    cols = cols + ["__part"]
-                df = table.select(cols).to_pandas().sort_values(
-                    ["file", "subject", "predicate", "object"]
-                )
+                has_part = "__part" in names_
+                cols = sort_cols + (["__part"] if has_part else [])
+                df = table.select(cols).to_pandas().sort_values(sort_cols)
                 group_cols = ["file", "__part"] if has_part else ["file"]
                 for key, group in df.groupby(group_cols, sort=False):
                     tag = key[0] if isinstance(key, tuple) else key
@@ -413,8 +453,9 @@ class MultiNTriplesGzDatasink(Datasink):
                         continue
                     wkey = (tag, part_id)
                     if wkey not in writers:
+                        ext = self.extensions.get(tag, ".nt.gz")
                         out = os.path.join(
-                            self.base_dir, name, f"part-{part_id:05d}.nt.gz"
+                            self.base_dir, name, f"part-{part_id:05d}{ext}"
                         )
                         tmp = out + ".tmp"
                         tmp_paths[wkey] = (tmp, out)
@@ -423,11 +464,10 @@ class MultiNTriplesGzDatasink(Datasink):
                         )
                     f = writers[wkey]
                     # vectorized line assembly (C-speed concat) — the
-                    # per-row format_triple loop cost ~40% of sink time
-                    lines = (
-                        group["subject"] + "\t" + group["predicate"]
-                        + "\t" + group["object"] + "\t."
-                    )
+                    # per-row format_triple loop cost ~40% of sink time;
+                    # _lines emits RDF* form for rows whose annotation
+                    # columns are non-empty, plain N-Triples otherwise
+                    lines = NTriplesGzDatasink._lines(group)
                     f.write("\n".join(lines) + "\n")
                     counts[tag] = counts.get(tag, 0) + len(group)
         finally:
@@ -467,13 +507,18 @@ def write_ntriples(
     §2.6), atomic part files, optional checkpoint manifest."""
     if sort:
         cols = ds.schema().names
-        keys = [
-            c
-            for c in ("subject", "predicate", "object",
-                      "annotation_predicate", "annotation_object")
-            if c in cols
-        ]
-        ds = ds.sort(keys)
+        if "__part" not in cols:
+            # no deterministic partition id → global range sort; with
+            # one (distinct_rows(keep_part_column=True)), the sink sorts
+            # within each part instead — same determinism, one less
+            # all-to-all exchange
+            keys = [
+                c
+                for c in ("subject", "predicate", "object",
+                          "annotation_predicate", "annotation_object")
+                if c in cols
+            ]
+            ds = ds.sort(keys)
     ds.write_datasink(NTriplesGzDatasink(path, lineage=lineage, extension=extension))
 
 
