@@ -485,3 +485,69 @@ def test_resize_grayscale_and_rgba_channels(ray_session):
 
     ref = resize_pixels(codecs.decode_png(codecs.encode_png(rgba)), 7, 5)
     assert (a == ref[:, :, :3]).all()
+
+
+def test_jpeg_baseline_codec(ray_session):
+    """Baseline JPEG (T.81): lossy roundtrips at sane PSNR across
+    quality levels, 4:4:4 and 4:2:0 subsampling, restart markers, odd
+    sizes, grayscale — and the decoder refuses progressive streams."""
+    import numpy as np
+    import pytest
+
+    from yago4_ray.dataops import codecs
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+    img = codecs.synth_image(7, width=48, height=32)
+    assert codecs.sniff(codecs.encode_jpeg(img)) == "jpeg"
+    # quality monotonicity + reasonable fidelity at q90
+    p = {q: psnr(codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q)), img)
+         for q in (50, 75, 90)}
+    assert p[90] > 30 and p[50] < p[75] < p[90]
+    # 4:2:0 and restart markers decode to the same fidelity class
+    d420 = codecs.encode_jpeg(img, quality=90, subsample="420")
+    assert len(d420) < len(codecs.encode_jpeg(img, quality=90))
+    assert psnr(codecs.decode_jpeg(d420), img) > 20
+    dri = codecs.encode_jpeg(img, quality=90, restart_interval=2)
+    assert np.array_equal(
+        codecs.decode_jpeg(dri),
+        codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90)),
+    )
+    # odd sizes, grayscale shape preservation
+    odd = codecs.synth_image(3, width=35, height=21)
+    assert codecs.decode_jpeg(codecs.encode_jpeg(odd, subsample="420")).shape == odd.shape
+    gray = img[:, :, 0]
+    out = codecs.decode_jpeg(codecs.encode_jpeg(gray, quality=90))
+    assert out.shape == gray.shape and psnr(out, gray) > 30
+    # deterministic encode
+    assert codecs.encode_jpeg(img) == codecs.encode_jpeg(img)
+    # progressive (SOF2) is honestly refused
+    prog = bytearray(codecs.encode_jpeg(img))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_through_media_stages(ray_session):
+    """JPEG payloads run the real decode/resize actor-pool stages:
+    decode_media reports true dimensions, resize_media re-encodes."""
+    from yago4_ray.dataops.multimodal import (
+        decode_media,
+        media_table_from_refs,
+        resize_media,
+    )
+
+    table = media_table_from_refs(["m/j1", "m/j2"], "image", payload="jpeg")
+    assert table["mime"].to_pylist() == ["image/jpeg", "image/jpeg"]
+    ds = ray.data.from_arrow(table)
+    out = (
+        decode_media(ds, decoder="real", feature_dim=9, batch_size=2)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert (out["width"] == 48).all() and (out["height"] == 32).all()
+    resized = resize_media(ds, width=10, height=6, concurrency=1).to_pandas()
+    assert resized["resized"].all()
+    assert set(resized["mime"]) == {"image/x-portable-pixmap"}

@@ -3,12 +3,12 @@ columns with typed metadata.
 
 Two decoder modes:
 
-- `decoder="real"` — actual codec work via the stdlib-only codecs in
-  `yago4_ray.dataops.codecs` (PNG/BMP/PPM images, PCM WAV audio):
-  decode, grid-pooled grayscale features for images, segment-RMS
-  features for audio, real width/height/duration. Formats that require
-  external libraries this container doesn't ship (JPEG, MP3, any video
-  codec) raise `NotImplementedError` with a clear message.
+- `decoder="real"` — actual codec work via the stdlib+numpy codecs in
+  `yago4_ray.dataops.codecs` (PNG/BMP/PPM/baseline-JPEG images, PCM
+  WAV audio): decode, grid-pooled grayscale features for images,
+  segment-RMS features for audio, real width/height/duration. Formats
+  that require external libraries this container doesn't ship (MP3,
+  any video codec) raise `NotImplementedError` with a clear message.
 - `decoder="fake"` — deterministic bytes-derived features with no
   decode, for plumbing tests and unknown payloads.
 
@@ -60,6 +60,11 @@ def media_table_from_refs(
         if payload == "real" and kind == "image":
             payloads.append(codecs.encode_png(codecs.synth_image(_ref_seed(r))))
             mimes.append("image/png")
+        elif payload == "jpeg" and kind == "image":
+            payloads.append(
+                codecs.encode_jpeg(codecs.synth_image(_ref_seed(r)), quality=85)
+            )
+            mimes.append("image/jpeg")
         elif payload == "real" and kind == "audio":
             payloads.append(
                 codecs.encode_wav(codecs.synth_audio(_ref_seed(r), rate=8000), 8000)
@@ -140,13 +145,15 @@ class MediaDecoder:
             px = codecs.decode_bmp(payload)
         elif fmt == "ppm":
             px = codecs.decode_ppm(payload)
+        elif fmt == "jpeg":
+            px = codecs.decode_jpeg(payload)
         elif fmt == "wav":
             x, rate = codecs.decode_wav(payload)
             return self._audio_features(x), -1, -1, int(len(x) * 1000 / rate)
         else:
             raise NotImplementedError(
-                "real decode supports PNG/BMP/PPM/WAV (stdlib codecs); "
-                "JPEG/MP3/video need external libraries not in this "
+                "real decode supports PNG/BMP/PPM/JPEG/WAV (stdlib+numpy "
+                "codecs); MP3/video need external libraries not in this "
                 "container — use decoder='fake' for opaque payloads"
             )
         h, w = px.shape[:2]
@@ -241,6 +248,7 @@ class MediaResizer:
                     "png": codecs.decode_png,
                     "bmp": codecs.decode_bmp,
                     "ppm": codecs.decode_ppm,
+                    "jpeg": codecs.decode_jpeg,
                 }.get(fmt)
                 if decode is not None:
                     out = resize_pixels(decode(payload), self.width, self.height)
