@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data
@@ -68,24 +69,40 @@ _TIME_DTS = frozenset(
 )
 
 
-def _empty_triples() -> Dataset:
-    # pandas-blocked so unions with map_batches(pandas) stages stay
-    # homogeneous (Ray sorts can't mix Arrow and pandas blocks)
-    return ray.data.from_pandas(
-        pd.DataFrame({"subject": [], "predicate": [], "object": []}).astype(str)
+def _spo_arrow(subject, predicate, obj) -> "object":
+    """(subject, predicate, object) as an Arrow string block. Pandas
+    object-dtype outputs make Ray's block-size estimator fall back to
+    np.vectorize (which errors on empty frames and mis-sizes strings)
+    and get pickled through shuffles; Arrow string columns size exactly
+    and ship zero-copy."""
+    import pyarrow as pa
+
+    n = len(subject)
+
+    def col(v):
+        if isinstance(v, str):
+            return pa.array([v] * n, pa.string())
+        if isinstance(v, pd.Series):
+            v = v.to_numpy()
+        return pa.array(v, pa.string(), from_pandas=True)
+
+    return pa.table(
+        {"subject": col(subject), "predicate": col(predicate), "object": col(obj)}
     )
+
+
+def _empty_triples() -> Dataset:
+    return ray.data.from_arrow(_spo_arrow([], "", []))
 
 
 def _triples_ds(rows: list[tuple[str, str, str]]) -> Dataset:
     if not rows:
         return _empty_triples()
-    return ray.data.from_pandas(
-        pd.DataFrame(
-            {
-                "subject": [r[0] for r in rows],
-                "predicate": [r[1] for r in rows],
-                "object": [r[2] for r in rows],
-            }
+    return ray.data.from_arrow(
+        _spo_arrow(
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
         )
     )
 
@@ -772,13 +789,13 @@ def build_labels(root: str, state: BuildState, paths: list[str] | None = None, d
             "shape_instances": state.packed_ref("shape_instances"),
         }
 
-        def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        def stage(batch: pd.DataFrame):
             uri_map = get_broadcast(refs["uri_mapping"])
             instances = get_broadcast(refs["shape_instances"])
             dtypes = datatype_series(batch["object"])
             subjects = uri_map.lookup(batch["subject"])
             mapped = subjects.notna()
-            outs = []
+            subs, preds, objs = [], [], []
             for pred, group in batch.groupby("predicate", sort=False):
                 for path, dts, parent in pred_to_shapes.get(pred, ()):
                     inst = instances.get(parent)
@@ -793,20 +810,18 @@ def build_labels(root: str, state: BuildState, paths: list[str] | None = None, d
                         )
                     )
                     if keep.any():
-                        outs.append(
-                            pd.DataFrame(
-                                {
-                                    "subject": sub[keep],
-                                    "predicate": path,
-                                    "object": group["object"][keep],
-                                }
-                            )
+                        subs.append(sub[keep].to_numpy())
+                        preds.append(
+                            np.full(int(keep.sum()), path, dtype=object)
                         )
-            if not outs:
-                return pd.DataFrame(
-                    {"subject": [], "predicate": [], "object": []}
-                ).astype(str)
-            return pd.concat(outs, ignore_index=True)
+                        objs.append(group["object"][keep].to_numpy())
+            if not subs:
+                return _spo_arrow([], "", [])
+            return _spo_arrow(
+                np.concatenate(subs),
+                np.concatenate(preds),
+                np.concatenate(objs),
+            )
 
         ds = scan_predicate(root, list(pred_to_shapes)).map_batches(
             stage, batch_format="pandas"
@@ -832,13 +847,7 @@ def build_simple_types(state: BuildState) -> Dataset:
             "simple-types (state built by build_state always carries it)"
         )
     return inst.map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "subject": b["instance"],
-                "predicate": T.RDF_TYPE,
-                "object": b["shape"],
-            }
-        ),
+        lambda b: _spo_arrow(b["instance"], T.RDF_TYPE, b["shape"]),
         batch_format="pandas",
     )
 
@@ -859,7 +868,7 @@ def build_full_types(root: str, state: BuildState, dedup: bool = True) -> Datase
     }
     p31 = scan_predicate(root, f"<{T.WDT}P31>")
 
-    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+    def stage(batch: pd.DataFrame):
         uri_map = get_broadcast(refs["uri_mapping"])
         things = get_broadcast(refs["things"])
         class_map = get_broadcast(refs["class_mapping"])
@@ -869,23 +878,16 @@ def build_full_types(root: str, state: BuildState, dedup: bool = True) -> Datase
             {"instance": instances, "wd_class": batch["object"]}
         )[keep]
         # explode the (small) per-class fan-out vectorized per class
-        outs = []
+        subs, objs = [], []
         for wd_class, group in base.groupby("wd_class", sort=False):
             for yago_class in class_map.get(wd_class, ()):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "subject": group["instance"],
-                            "predicate": T.RDF_TYPE,
-                            "object": yago_class,
-                        }
-                    )
-                )
-        if not outs:
-            return pd.DataFrame(
-                {"subject": [], "predicate": [], "object": []}
-            ).astype(str)
-        return pd.concat(outs, ignore_index=True)
+                subs.append(group["instance"].to_numpy())
+                objs.append(np.full(len(group), yago_class, dtype=object))
+        if not subs:
+            return _spo_arrow([], T.RDF_TYPE, [])
+        return _spo_arrow(
+            np.concatenate(subs), T.RDF_TYPE, np.concatenate(objs)
+        )
 
     out = p31.map_batches(stage, batch_format="pandas")
     if dedup:
@@ -908,18 +910,12 @@ def build_classes_description(root: str, state: BuildState, dedup: bool = True) 
         "classes": ray.put(HashedSet(state.yago_classes)),
     }
 
-    def class_labels(batch: pd.DataFrame, predicate: str) -> pd.DataFrame:
+    def class_labels(batch: pd.DataFrame, predicate: str):
         uri_map = get_broadcast(refs["uri_mapping"])
         classes = get_broadcast(refs["classes"])
         subjects = uri_map.lookup(batch["subject"])
         keep = subjects.notna().to_numpy() & classes.contains(subjects.fillna(""))
-        return pd.DataFrame(
-            {
-                "subject": subjects[keep],
-                "predicate": predicate,
-                "object": batch["object"][keep],
-            }
-        )
+        return _spo_arrow(subjects[keep], predicate, batch["object"][keep])
 
     labels = scan_predicate(root, T.SKOS_PREF_LABEL).map_batches(
         lambda b: class_labels(b, T.RDFS_LABEL), batch_format="pandas"
@@ -953,30 +949,22 @@ def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
 
     # wd identity + dbpedia links derive from the state DATASETS (no
     # driver-side row loop); the things membership stays a broadcast
-    def wd_links(batch: pd.DataFrame) -> pd.DataFrame:
+    def wd_links(batch: pd.DataFrame):
         things_b = get_broadcast(refs["things"])
         keep = things_b.contains(batch["uri"])
         sel = batch[keep]
-        return pd.DataFrame(
-            {
-                "subject": sel["uri"],
-                "predicate": T.OWL_SAME_AS,
-                "object": sel["item"],
-            }
-        )
+        return _spo_arrow(sel["uri"], T.OWL_SAME_AS, sel["item"])
 
-    def dbpedia_links(batch: pd.DataFrame) -> pd.DataFrame:
+    def dbpedia_links(batch: pd.DataFrame):
         uri_map = get_broadcast(refs["uri_mapping"])
         things_b = get_broadcast(refs["things"])
         yago = uri_map.lookup(batch["item"])
         keep = yago.notna().to_numpy() & things_b.contains(yago.fillna(""))
         sel = batch[keep]
-        return pd.DataFrame(
-            {
-                "subject": yago[keep],
-                "predicate": T.OWL_SAME_AS,
-                "object": "<" + sel["url"].map(C.enwiki_to_dbpedia) + ">",
-            }
+        return _spo_arrow(
+            yago[keep],
+            T.OWL_SAME_AS,
+            "<" + sel["url"].map(C.enwiki_to_dbpedia) + ">",
         )
 
     static = state.datasets["uri_mapping"].map_batches(
@@ -985,26 +973,20 @@ def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
         state.datasets["enwiki"].map_batches(dbpedia_links, batch_format="pandas")
     )
 
-    def freebase(batch: pd.DataFrame) -> pd.DataFrame:
+    def freebase(batch: pd.DataFrame):
         uri_map = get_broadcast(refs["uri_mapping"])
         things_b = get_broadcast(refs["things"])
         yago = uri_map.lookup(batch["subject"])
         keep = yago.notna().to_numpy() & things_b.contains(yago.fillna(""))
         fb = batch["object"][keep].map(C.convert_freebase_id)
         keep2 = fb.notna()
-        return pd.DataFrame(
-            {
-                "subject": yago[keep][keep2],
-                "predicate": T.OWL_SAME_AS,
-                "object": fb[keep2],
-            }
-        )
+        return _spo_arrow(yago[keep][keep2], T.OWL_SAME_AS, fb[keep2])
 
     freebase_ds = scan_predicate(root, f"<{T.WDT}P646>").map_batches(
         freebase, batch_format="pandas"
     )
 
-    def wikipedia(batch: pd.DataFrame) -> pd.DataFrame:
+    def wikipedia(batch: pd.DataFrame):
         uri_map = get_broadcast(refs["uri_mapping"])
         things_b = get_broadcast(refs["things"])
         is_wp = batch["subject"].str.startswith("<") & batch["subject"].str.contains(
@@ -1017,12 +999,10 @@ def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
             & things_b.contains(yago.fillna(""))
         )
         urls = batch["subject"][keep].str.slice(1, -1)
-        return pd.DataFrame(
-            {
-                "subject": yago[keep],
-                "predicate": T.SCHEMA_SAME_AS,
-                "object": '"' + urls + f'"^^<{T.XSD_ANY_URI}>',
-            }
+        return _spo_arrow(
+            yago[keep],
+            T.SCHEMA_SAME_AS,
+            '"' + urls + f'"^^<{T.XSD_ANY_URI}>',
         )
 
     wikipedia_ds = scan_predicate(root, T.SCHEMA_ABOUT).map_batches(

@@ -51,40 +51,90 @@ def brute_force_topk(
     id_col: str = "vec_id",
     dtype=np.float32,
     round_decimals: int | None = None,
+    rerank: bool = False,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row.
     Returns (query_idx, id, cosine, rank), deterministic ties by id.
-    dtype=float64 + round_decimals makes the ranking reproducible against
-    an independent double-precision oracle (SQL list_cosine_similarity)."""
-    q = _normalize(np.asarray(queries, dtype=dtype))
+
+    Two ways to match a double-precision oracle (SQL
+    list_cosine_similarity + round):
+    - dtype=float64 + round_decimals: every batch matmuls in float64 —
+      2× the memory traffic of the float32 scan on 100-TB corpora.
+    - rerank=True (+ round_decimals): the SCAN stays float32 and keeps a
+      k+margin candidate slate per (query, block); only the tiny
+      candidate set is re-scored in float64 on the driver. Exact as long
+      as the margin absorbs float32-vs-float64 rank jitter (~1e-7
+      relative — margin 8 is orders of magnitude beyond it). Source
+      embeddings are float32, so float32→float64 is value-exact.
+    """
+    if rerank:
+        scan_dtype = np.float32
+        kk_margin = 8
+    else:
+        scan_dtype = dtype
+        kk_margin = 0
+    q = _normalize(np.asarray(queries, dtype=scan_dtype))
     q_ref = ray.put(q)
 
     def partial_topk(batch: pa.Table) -> pd.DataFrame:
         qm = get_broadcast(q_ref)
-        mat = _normalize(_arrow_mat(batch.column(vec_col), dtype))
+        raw = _arrow_mat(batch.column(vec_col), scan_dtype)
+        mat = _normalize(raw)
         sims = qm @ mat.T  # (n_queries, batch)
-        if round_decimals is not None:
+        if round_decimals is not None and not rerank:
             sims = np.round(sims, round_decimals)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        out = {"query_idx": [], "id": [], "cosine": []}
-        kk = min(k, sims.shape[1])
+        kk = min(k + kk_margin, sims.shape[1])
         # local top-k per query (argpartition = O(n))
         idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-        for qi in range(sims.shape[0]):
-            for j in idx[qi]:
-                out["query_idx"].append(qi)
-                out["id"].append(ids[j])
-                out["cosine"].append(float(sims[qi, j]))
-        return pd.DataFrame(out)
+        nq = sims.shape[0]
+        flat = idx.ravel()
+        out = pd.DataFrame(
+            {
+                "query_idx": np.repeat(np.arange(nq), kk),
+                "id": ids[flat],
+                "cosine": sims[np.repeat(np.arange(nq), kk), flat],
+            }
+        )
+        if rerank:
+            # carry the candidate vectors (float32 bytes) so the driver
+            # can re-score in float64 without a second corpus pass
+            out["vec"] = [raw[j].tobytes() for j in flat]
+        return out
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if rerank:
+        # driver re-rank: n_queries × (k+margin) × n_blocks candidates
+        uniq = partials.drop_duplicates("id")
+        cand_ids = uniq["id"].to_numpy()
+        mat64 = _normalize(
+            np.stack(
+                [
+                    np.frombuffer(b, dtype=np.float32).astype(np.float64)
+                    for b in uniq["vec"]
+                ]
+            )
+        )
+        q64 = _normalize(np.asarray(queries, dtype=np.float64))
+        sims64 = q64 @ mat64.T
+        if round_decimals is not None:
+            sims64 = np.round(sims64, round_decimals)
+        order = np.argsort(cand_ids)
+        col = order[np.searchsorted(cand_ids[order], partials["id"].to_numpy())]
+        partials = pd.DataFrame(
+            {
+                "query_idx": partials["query_idx"],
+                "id": partials["id"],
+                "cosine": sims64[partials["query_idx"].to_numpy(), col],
+            }
+        ).drop_duplicates(["query_idx", "id"])
     # global reduce: tiny (n_queries × k × n_blocks rows)
     partials = partials.sort_values(
         ["query_idx", "cosine", "id"], ascending=[True, False, True]
     )
     top = partials.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_idx").cumcount()
-    return top
+    return top[["query_idx", "id", "cosine", "rank"]]
 
 
 def brute_force_pairs(
