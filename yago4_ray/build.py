@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 from ray.data import Dataset
@@ -331,6 +332,10 @@ def _literal_values(obj: pd.Series) -> pd.Series:
 
 _EMPTY_SUBJECT = {"cfg": [], "statement": [], "subject": []}
 _EMPTY_OBJECT = {"cfg": [], "statement": [], "object": [], "extras": []}
+_EMPTY_SUBJECT_TBL = pa.table(
+    {c: pa.array([], pa.string()) for c in _EMPTY_SUBJECT}
+)
+_OBJECT_SCHEMA = pa.schema([(c, pa.string()) for c in _EMPTY_OBJECT])
 
 
 def _subject_side(
@@ -364,7 +369,7 @@ def _subject_side(
                 "subject": subjects,
             }
         )[keep]
-        outs = []
+        cfgs_a, stmts, subs = [], [], []
         for pid, group in base.groupby("pid", sort=False):
             for cfg in pid_to_cfgs.get(pid, ()):
                 inst = instances.get(cfg.parent_class)
@@ -372,18 +377,26 @@ def _subject_side(
                     continue
                 sel = group[inst.contains(group["subject"])]
                 if len(sel):
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "cfg": cfg.cfg_id,
-                                "statement": sel["statement"],
-                                "subject": sel["subject"],
-                            }
-                        )
-                    )
-        if not outs:
-            return pd.DataFrame(_EMPTY_SUBJECT).astype(str)
-        return pd.concat(outs, ignore_index=True)
+                    cfgs_a.append(np.full(len(sel), cfg.cfg_id, dtype=object))
+                    stmts.append(sel["statement"].to_numpy())
+                    subs.append(sel["subject"].to_numpy())
+        # Arrow out: these rows feed the facts-join exchange — Arrow
+        # string blocks ship zero-copy where pandas blocks pickle
+        if not cfgs_a:
+            return _EMPTY_SUBJECT_TBL
+        return pa.table(
+            {
+                "cfg": pa.array(
+                    np.concatenate(cfgs_a), pa.string(), from_pandas=True
+                ),
+                "statement": pa.array(
+                    np.concatenate(stmts), pa.string(), from_pandas=True
+                ),
+                "subject": pa.array(
+                    np.concatenate(subs), pa.string(), from_pandas=True
+                ),
+            }
+        )
 
     return ds.map_batches(stage, batch_format="pandas")
 
@@ -490,9 +503,15 @@ def _object_side(
                 res = dispatch(cfg, rows, refs_local)
                 if res is not None:
                     outs.append(res)
+        # Arrow out with a pinned all-string schema (downstream
+        # `fillna("")` treats the NaN→null promotion as empty extras)
         if not outs:
-            return pd.DataFrame(_EMPTY_OBJECT).astype(str)
-        return pd.concat(outs, ignore_index=True)
+            return _OBJECT_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True),
+            schema=_OBJECT_SCHEMA,
+            preserve_index=False,
+        )
 
     return ds.map_batches(stage, batch_format="pandas")
 

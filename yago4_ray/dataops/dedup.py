@@ -335,7 +335,7 @@ def minhash_dedup(
     pairs = pairs.drop_columns(["oversized"])
     ids_ref = ray.put(cand_ids)
 
-    def cand_shingles(b: pd.DataFrame) -> pd.DataFrame:
+    def cand_shingles(b: pd.DataFrame) -> pa.Table:
         keep = b[id_col].isin(get_broadcast(ids_ref))
         sel = b[keep]
         doc_idx, h = batch_shingle_hashes(sel[text_col].tolist(), k)
@@ -345,13 +345,21 @@ def minhash_dedup(
         uniq[1:] = (di[1:] != di[:-1]) | (hh[1:] != hh[:-1])
         di, hh = di[uniq], hh[uniq]
         bounds = np.searchsorted(di, np.arange(len(sel) + 1))
-        return pd.DataFrame(
+        # Arrow out with EXPLICIT types: most corpus blocks contribute
+        # zero candidates, and empty pandas object columns surface as
+        # null-typed Arrow — mixed per-block schemas break the join pads
+        ids = sel[id_col].to_numpy()
+        id_t = pa.string() if ids.dtype == object else None
+        return pa.table(
             {
-                "id": sel[id_col].to_numpy(),
-                "sh": [
-                    hh[bounds[i]:bounds[i + 1]].tobytes()
-                    for i in range(len(sel))
-                ],
+                "id": pa.array(ids, id_t, from_pandas=True),
+                "sh": pa.array(
+                    [
+                        hh[bounds[i]:bounds[i + 1]].tobytes()
+                        for i in range(len(sel))
+                    ],
+                    pa.binary(),
+                ),
             }
         )
 
@@ -371,19 +379,25 @@ def minhash_dedup(
     if pairs_nblocks > n_blocks:
         pairs = pairs.repartition(n_blocks)
     sh_a = sh_ds.map_batches(
-        lambda b: b.rename(columns={"id": "a", "sh": "sh_a"}),
-        batch_format="pandas",
+        lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow"
     )
     sh_b = sh_ds.map_batches(
-        lambda b: b.rename(columns={"id": "b", "sh": "sh_b"}),
-        batch_format="pandas",
+        lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow"
     )
+    # pad types from the materialized schemas (ids may be int64 or
+    # string depending on the corpus; shingle payloads are binary)
+    id_type = sh_ds.schema().base_schema.field("id").type
+    sh_type = sh_ds.schema().base_schema.field("sh").type
+    jtypes = {
+        "a": id_type, "b": id_type, "sh_a": sh_type, "sh_b": sh_type
+    }
     with_a = copartition_join(
-        pairs, sh_a, "a", ["a", "b"], ["a", "sh_a"], num_parts=n_parts
+        pairs, sh_a, "a", ["a", "b"], ["a", "sh_a"], num_parts=n_parts,
+        col_types=jtypes,
     )
     with_both = copartition_join(
         with_a, sh_b, "b", ["a", "b", "sh_a"], ["b", "sh_b"],
-        num_parts=n_parts,
+        num_parts=n_parts, col_types=jtypes,
     )
 
     def verify(batch: pd.DataFrame) -> pa.Table:

@@ -149,6 +149,7 @@ def copartition_join(
     right_cols: list[str],
     how: str = "inner",
     num_parts: int = 32,
+    col_types: dict | None = None,
 ) -> Dataset:
     """Task-based co-partitioned equi-join: tag each side, hash-partition
     the UNION on the join key, merge per part with vectorized pandas.
@@ -167,15 +168,19 @@ def copartition_join(
 
     The exchange ships ARROW blocks (same treatment as
     partitioned_group_apply): the key hash is computed on the key
-    columns only, missing columns are appended as null-typed arrays
-    (pyarrow's default schema unification promotes null to the other
-    side's real type at concat time), and pandas schema metadata is
-    stripped so Ray's shuffle schema-dedup hashing works — the pandas
-    object-frame version both pickled every string and leaked one
-    schema dict per block (the `unhashable type: 'dict'` misses in
-    BENCH_r02's tail)."""
+    columns only, pandas schema metadata is stripped so Ray's shuffle
+    schema-dedup hashing works (the pandas object-frame version both
+    pickled every string and leaked one schema dict per block — the
+    `unhashable type: 'dict'` misses in BENCH_r02's tail), and missing
+    columns are padded with nulls TYPED via `col_types` (default
+    string) so every block of the union carries the IDENTICAL schema —
+    per-side schema variants defeat the shuffle's schema dedup and
+    trip Ray's union mismatch warning. Callers only need `col_types`
+    entries for non-string columns (e.g. int64 money, binary shingle
+    payloads)."""
     keys = [on] if isinstance(on, str) else list(on)
     all_cols = list(dict.fromkeys(left_cols + right_cols))
+    types = col_types or {}
 
     def tag(side: int, cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -191,9 +196,18 @@ def copartition_join(
             arrays: list[pa.ChunkedArray | pa.Array] = []
             for c in all_cols:
                 if c in batch.column_names:
-                    arrays.append(batch.column(c))
+                    col = batch.column(c)
+                    # empty upstream blocks surface object columns as
+                    # null type — cast to the declared type so empty
+                    # and non-empty blocks share one schema
+                    want = types.get(c)
+                    if pa.types.is_null(col.type) and want is None:
+                        want = pa.string()
+                    if want is not None and col.type != want:
+                        col = col.cast(want)
+                    arrays.append(col)
                 else:
-                    arrays.append(pa.nulls(n))
+                    arrays.append(pa.nulls(n, types.get(c, pa.string())))
             arrays.append(pa.array(part, pa.int64()))
             arrays.append(pa.array(np.full(n, side, dtype="int8")))
             return pa.table(dict(zip(all_cols + ["__part", "__side"], arrays)))

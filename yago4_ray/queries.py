@@ -1031,6 +1031,7 @@ def q16_customer_order_join(sf_dir: str):
     joined = copartition_join(
         orders, customers, "custkey",
         ["custkey", "price_cents"], ["custkey", "c_mktsegment"],
+        col_types={"price_cents": pa.int64()},
     )
     partials = joined.map_batches(
         lambda df: df.assign(price_cents=df["price_cents"].astype("int64"))

@@ -620,22 +620,38 @@ def collect_input_reductions(
 
     _zero_h = np.zeros(0, dtype=np.uint64)
 
-    def _unified(kind: int, item, uri=None, n=None, h=None) -> pd.DataFrame:
-        df = pd.DataFrame({"item": np.asarray(item, dtype=object)})
-        df.insert(0, "kind", np.int8(kind))
-        df["uri"] = (
-            np.asarray(uri, dtype=object) if uri is not None else ""
+    def _unified(kind: int, item, uri=None, n=None, h=None) -> pa.Table:
+        # Arrow out: the routed rows feed a shuffle-free to_arrow_refs
+        # collect; pandas object frames mis-size in Ray's estimator
+        # (np.vectorize errors on empty frames) and pickle every string
+        items = np.asarray(item, dtype=object)
+        m = len(items)
+        return pa.table(
+            {
+                "kind": pa.array(np.full(m, kind, dtype=np.int8)),
+                "item": pa.array(items, pa.string(), from_pandas=True),
+                "uri": pa.array(
+                    np.asarray(uri, dtype=object)
+                    if uri is not None
+                    else np.full(m, "", dtype=object),
+                    pa.string(),
+                    from_pandas=True,
+                ),
+                "n": pa.array(
+                    np.asarray(n, dtype=np.int64)
+                    if n is not None
+                    else np.zeros(m, dtype=np.int64)
+                ),
+                "h": pa.array(
+                    np.asarray(h, dtype=np.uint64)
+                    if h is not None
+                    else np.zeros(m, dtype=np.uint64)
+                ),
+            }
         )
-        df["n"] = np.asarray(n, dtype=np.int64) if n is not None else np.int64(0)
-        df["h"] = (
-            np.asarray(h, dtype=np.uint64)
-            if h is not None
-            else np.zeros(len(df), dtype=np.uint64)
-        )
-        return df
 
-    def route(batch: pd.DataFrame) -> pd.DataFrame:
-        outs: list[pd.DataFrame] = []
+    def route(batch: pd.DataFrame) -> pa.Table:
+        outs: list[pa.Table] = []
         for pred, g in batch.groupby("predicate", sort=False):
             if pred == T.RDF_TYPE:
                 items = g.loc[g["object"] == T.WIKIBASE_ITEM, "subject"]
@@ -676,7 +692,7 @@ def collect_input_reductions(
                 )
         if not outs:
             return _unified(_K_MARKER, [])
-        return pd.concat(outs, ignore_index=True)
+        return pa.concat_tables(outs)
 
     rows = scan_predicate(root, preds).map_batches(route, batch_format="pandas")
     tbl = pa.concat_tables(
@@ -958,7 +974,7 @@ def build_shape_instances(
 
     p31 = scan_predicate(root, f"<{T.WDT}P31>")
 
-    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+    def fan_out(batch: pd.DataFrame) -> pa.Table:
         class_map = get_broadcast(refs["wd_class_to_shapes"])
         uris = get_broadcast(refs["uri_mapping"])
         classes = get_broadcast(refs["yago_classes"])
@@ -970,15 +986,30 @@ def build_shape_instances(
         base = pd.DataFrame(
             {"wd_class": batch["object"], "instance": instances}
         )[keep]
-        outs = []
+        shs, insts = [], []
         for wd_class, group in base.groupby("wd_class", sort=False):
             for shape in class_map.get(wd_class, ()):
-                outs.append(
-                    pd.DataFrame({"shape": shape, "instance": group["instance"]})
-                )
-        if not outs:
-            return pd.DataFrame({"shape": [], "instance": []}).astype(str)
-        return pd.concat(outs, ignore_index=True)
+                shs.append(np.full(len(group), shape, dtype=object))
+                insts.append(group["instance"].to_numpy())
+        # Arrow out with explicit string types: empty pandas object
+        # frames null-type in the exchange and mis-size in the estimator
+        if not shs:
+            return pa.table(
+                {
+                    "shape": pa.array([], pa.string()),
+                    "instance": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "shape": pa.array(
+                    np.concatenate(shs), pa.string(), from_pandas=True
+                ),
+                "instance": pa.array(
+                    np.concatenate(insts), pa.string(), from_pandas=True
+                ),
+            }
+        )
 
     fanned = p31.map_batches(fan_out, batch_format="pandas")
 
@@ -1015,8 +1046,13 @@ def build_shape_instances(
     from .broadcast import HashedSet, _hash_series
 
     hashed = resolved.map_batches(
-        lambda b: pd.DataFrame(
-            {"shape": b["shape"], "h": _hash_series(b["instance"])}
+        lambda b: pa.table(
+            {
+                "shape": pa.array(
+                    b["shape"].to_numpy(), pa.string(), from_pandas=True
+                ),
+                "h": pa.array(_hash_series(b["instance"])),
+            }
         ),
         batch_format="pandas",
     ).to_pandas()
