@@ -767,6 +767,109 @@ def build_facts(
 
 
 # ---------------------------------------------------------------------------
+# Shared per-predicate-group kernels: used by BOTH the individual output
+# builders (the queries() API) and generate_yago's fused output scan, so
+# the two paths cannot drift.
+# ---------------------------------------------------------------------------
+
+def _label_shape_groups(group: pd.DataFrame, pred_shapes, uri_map, instances):
+    """(path, subjects, objects) per label shape matching this predicate
+    group (datatype filter + shape-instance membership, plan.rs:845-880)."""
+    subjects = uri_map.lookup(group["subject"])
+    dtypes = datatype_series(group["object"])
+    mapped = subjects.notna()
+    for path, dts, parent in pred_shapes:
+        inst = instances.get(parent)
+        if inst is None:
+            continue
+        keep = (
+            dtypes.isin(dts)
+            & mapped
+            & pd.Series(inst.contains(subjects.fillna("")), index=group.index)
+        )
+        if keep.any():
+            yield path, subjects[keep].to_numpy(), group["object"][keep].to_numpy()
+
+
+def _class_label_group(group: pd.DataFrame, uri_map, classes):
+    """Subjects/objects of class label/comment rows (plan.rs:1741-1781)."""
+    subjects = uri_map.lookup(group["subject"])
+    keep = subjects.notna().to_numpy() & classes.contains(subjects.fillna(""))
+    return subjects[keep].to_numpy(), group["object"][keep].to_numpy()
+
+
+def _full_types_group(group: pd.DataFrame, uri_map, things, class_map):
+    """P31 rows → (instance, yago class) pairs via the class mapping
+    fan-out (plan.rs:744-770)."""
+    instances = uri_map.lookup(group["subject"])
+    keep = instances.notna().to_numpy() & things.contains(instances.fillna(""))
+    base = pd.DataFrame(
+        {"instance": instances, "wd_class": group["object"]}
+    )[keep]
+    subs, objs = [], []
+    for wd_class, g in base.groupby("wd_class", sort=False):
+        for yago_class in class_map.get(wd_class, ()):
+            subs.append(g["instance"].to_numpy())
+            objs.append(np.full(len(g), yago_class, dtype=object))
+    if not subs:
+        e = np.empty(0, dtype=object)
+        return e, e
+    return np.concatenate(subs), np.concatenate(objs)
+
+
+def _freebase_group(group: pd.DataFrame, uri_map, things):
+    """P646 rows → owl:sameAs freebase ids (plan.rs:1730-1739)."""
+    yago = uri_map.lookup(group["subject"])
+    keep = yago.notna().to_numpy() & things.contains(yago.fillna(""))
+    fb = group["object"][keep].map(C.convert_freebase_id)
+    keep2 = fb.notna()
+    return yago[keep][keep2].to_numpy(), fb[keep2].to_numpy()
+
+
+def _wikipedia_group(group: pd.DataFrame, uri_map, things):
+    """schema:about rows with wikipedia subjects → schema:sameAs URL
+    literals (plan.rs:1711-1728)."""
+    is_wp = group["subject"].str.startswith("<") & group["subject"].str.contains(
+        ".wikipedia.org/wiki/", regex=False
+    )
+    yago = uri_map.lookup(group["object"])
+    keep = (
+        is_wp.to_numpy()
+        & yago.notna().to_numpy()
+        & things.contains(yago.fillna(""))
+    )
+    urls = group["subject"][keep].str.slice(1, -1)
+    return (
+        yago[keep].to_numpy(),
+        ('"' + urls + f'"^^<{T.XSD_ANY_URI}>').to_numpy(),
+    )
+
+
+def _label_pred_to_shapes(
+    state: BuildState, paths: list[str]
+) -> dict[str, list]:
+    """predicate → [(path, datatypes, parent target class)] for the
+    simple label shapes (plan.rs:818-892 dispatch table)."""
+    schema = state.schema
+    pred_to_shapes: dict[str, list] = {}
+    for shape in (s for s in schema.property_shapes() if s.path in paths):
+        if not shape.datatypes:
+            raise NotImplementedError("label path without datatypes")
+        if shape.nodes:
+            continue
+        if shape.max_count is not None or shape.pattern is not None:
+            raise NotImplementedError(
+                "maxCount/pattern on the simple label path (plan.rs:864-881)"
+            )
+        parent = schema.node_shape(shape.parent_shape).target_class
+        for pred in shape.from_properties:
+            pred_to_shapes.setdefault(pred, []).append(
+                (shape.path, frozenset(shape.datatypes), parent)
+            )
+    return pred_to_shapes
+
+
+# ---------------------------------------------------------------------------
 # Labels (build_simple_properties_from_schema, plan.rs:818-892)
 # ---------------------------------------------------------------------------
 
@@ -811,29 +914,14 @@ def build_labels(root: str, state: BuildState, paths: list[str] | None = None, d
         def stage(batch: pd.DataFrame):
             uri_map = get_broadcast(refs["uri_mapping"])
             instances = get_broadcast(refs["shape_instances"])
-            dtypes = datatype_series(batch["object"])
-            subjects = uri_map.lookup(batch["subject"])
-            mapped = subjects.notna()
             subs, preds, objs = [], [], []
             for pred, group in batch.groupby("predicate", sort=False):
-                for path, dts, parent in pred_to_shapes.get(pred, ()):
-                    inst = instances.get(parent)
-                    if inst is None:
-                        continue
-                    sub = subjects.loc[group.index]
-                    keep = (
-                        dtypes.loc[group.index].isin(dts)
-                        & mapped.loc[group.index]
-                        & pd.Series(
-                            inst.contains(sub.fillna("")), index=group.index
-                        )
-                    )
-                    if keep.any():
-                        subs.append(sub[keep].to_numpy())
-                        preds.append(
-                            np.full(int(keep.sum()), path, dtype=object)
-                        )
-                        objs.append(group["object"][keep].to_numpy())
+                for path, s, o in _label_shape_groups(
+                    group, pred_to_shapes.get(pred, ()), uri_map, instances
+                ):
+                    subs.append(s)
+                    preds.append(np.full(len(s), path, dtype=object))
+                    objs.append(o)
             if not subs:
                 return _spo_arrow([], "", [])
             return _spo_arrow(
@@ -888,25 +976,13 @@ def build_full_types(root: str, state: BuildState, dedup: bool = True) -> Datase
     p31 = scan_predicate(root, f"<{T.WDT}P31>")
 
     def stage(batch: pd.DataFrame):
-        uri_map = get_broadcast(refs["uri_mapping"])
-        things = get_broadcast(refs["things"])
-        class_map = get_broadcast(refs["class_mapping"])
-        instances = uri_map.lookup(batch["subject"])
-        keep = instances.notna().to_numpy() & things.contains(instances.fillna(""))
-        base = pd.DataFrame(
-            {"instance": instances, "wd_class": batch["object"]}
-        )[keep]
-        # explode the (small) per-class fan-out vectorized per class
-        subs, objs = [], []
-        for wd_class, group in base.groupby("wd_class", sort=False):
-            for yago_class in class_map.get(wd_class, ()):
-                subs.append(group["instance"].to_numpy())
-                objs.append(np.full(len(group), yago_class, dtype=object))
-        if not subs:
-            return _spo_arrow([], T.RDF_TYPE, [])
-        return _spo_arrow(
-            np.concatenate(subs), T.RDF_TYPE, np.concatenate(objs)
+        s, o = _full_types_group(
+            batch,
+            get_broadcast(refs["uri_mapping"]),
+            get_broadcast(refs["things"]),
+            get_broadcast(refs["class_mapping"]),
         )
+        return _spo_arrow(s, T.RDF_TYPE, o)
 
     out = p31.map_batches(stage, batch_format="pandas")
     if dedup:
@@ -914,14 +990,20 @@ def build_full_types(root: str, state: BuildState, dedup: bool = True) -> Datase
     return out
 
 
-def build_classes_description(root: str, state: BuildState, dedup: bool = True) -> Dataset:
+def _classes_static_ds(state: BuildState) -> Dataset:
+    """The driver-derived class rows (owl:Class types + subclass edges)
+    — the store-scan label/comment rows live in the shared kernels."""
     rows = [(c, T.RDF_TYPE, T.OWL_CLASS) for c in state.yago_classes]
     rows += [
         (sub, T.RDFS_SUB_CLASS_OF, sup)
         for sup, subs in state.yago_super_class_of.items()
         for sub in subs
     ]
-    static = _triples_ds(rows)
+    return _triples_ds(rows)
+
+
+def build_classes_description(root: str, state: BuildState, dedup: bool = True) -> Dataset:
+    static = _classes_static_ds(state)
     from .broadcast import HashedSet
 
     refs = {
@@ -930,11 +1012,12 @@ def build_classes_description(root: str, state: BuildState, dedup: bool = True) 
     }
 
     def class_labels(batch: pd.DataFrame, predicate: str):
-        uri_map = get_broadcast(refs["uri_mapping"])
-        classes = get_broadcast(refs["classes"])
-        subjects = uri_map.lookup(batch["subject"])
-        keep = subjects.notna().to_numpy() & classes.contains(subjects.fillna(""))
-        return _spo_arrow(subjects[keep], predicate, batch["object"][keep])
+        s, o = _class_label_group(
+            batch,
+            get_broadcast(refs["uri_mapping"]),
+            get_broadcast(refs["classes"]),
+        )
+        return _spo_arrow(s, predicate, o)
 
     labels = scan_predicate(root, T.SKOS_PREF_LABEL).map_batches(
         lambda b: class_labels(b, T.RDFS_LABEL), batch_format="pandas"
@@ -952,22 +1035,15 @@ def build_classes_description(root: str, state: BuildState, dedup: bool = True) 
 # sameAs (plan.rs:1690-1780)
 # ---------------------------------------------------------------------------
 
-def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
-    if state.distributed:
-        from .build_dist import same_as_dist
+def _same_as_static(state: BuildState, refs: dict | None = None) -> Dataset:
+    """wd identity + dbpedia links from the state DATASETS (no store
+    scan, no driver-side row loop); the things membership is a broadcast."""
+    if refs is None:
+        refs = {
+            "uri_mapping": state.packed_ref("uri_mapping"),
+            "things": state.packed_ref("things"),
+        }
 
-        out = same_as_dist(root, state)
-        if dedup:
-            out = distinct_rows(out, ["subject", "predicate", "object"])
-        return out
-
-    refs = {
-        "uri_mapping": state.packed_ref("uri_mapping"),
-        "things": state.packed_ref("things"),
-    }
-
-    # wd identity + dbpedia links derive from the state DATASETS (no
-    # driver-side row loop); the things membership stays a broadcast
     def wd_links(batch: pd.DataFrame):
         things_b = get_broadcast(refs["things"])
         keep = things_b.contains(batch["uri"])
@@ -986,43 +1062,47 @@ def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
             "<" + sel["url"].map(C.enwiki_to_dbpedia) + ">",
         )
 
-    static = state.datasets["uri_mapping"].map_batches(
+    return state.datasets["uri_mapping"].map_batches(
         wd_links, batch_format="pandas"
     ).union(
         state.datasets["enwiki"].map_batches(dbpedia_links, batch_format="pandas")
     )
 
+
+def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
+    if state.distributed:
+        from .build_dist import same_as_dist
+
+        out = same_as_dist(root, state)
+        if dedup:
+            out = distinct_rows(out, ["subject", "predicate", "object"])
+        return out
+
+    refs = {
+        "uri_mapping": state.packed_ref("uri_mapping"),
+        "things": state.packed_ref("things"),
+    }
+    static = _same_as_static(state, refs)
+
     def freebase(batch: pd.DataFrame):
-        uri_map = get_broadcast(refs["uri_mapping"])
-        things_b = get_broadcast(refs["things"])
-        yago = uri_map.lookup(batch["subject"])
-        keep = yago.notna().to_numpy() & things_b.contains(yago.fillna(""))
-        fb = batch["object"][keep].map(C.convert_freebase_id)
-        keep2 = fb.notna()
-        return _spo_arrow(yago[keep][keep2], T.OWL_SAME_AS, fb[keep2])
+        s, o = _freebase_group(
+            batch,
+            get_broadcast(refs["uri_mapping"]),
+            get_broadcast(refs["things"]),
+        )
+        return _spo_arrow(s, T.OWL_SAME_AS, o)
 
     freebase_ds = scan_predicate(root, f"<{T.WDT}P646>").map_batches(
         freebase, batch_format="pandas"
     )
 
     def wikipedia(batch: pd.DataFrame):
-        uri_map = get_broadcast(refs["uri_mapping"])
-        things_b = get_broadcast(refs["things"])
-        is_wp = batch["subject"].str.startswith("<") & batch["subject"].str.contains(
-            ".wikipedia.org/wiki/", regex=False
+        s, o = _wikipedia_group(
+            batch,
+            get_broadcast(refs["uri_mapping"]),
+            get_broadcast(refs["things"]),
         )
-        yago = uri_map.lookup(batch["object"])
-        keep = (
-            is_wp.to_numpy()
-            & yago.notna().to_numpy()
-            & things_b.contains(yago.fillna(""))
-        )
-        urls = batch["subject"][keep].str.slice(1, -1)
-        return _spo_arrow(
-            yago[keep],
-            T.SCHEMA_SAME_AS,
-            '"' + urls + f'"^^<{T.XSD_ANY_URI}>',
-        )
+        return _spo_arrow(s, T.SCHEMA_SAME_AS, o)
 
     wikipedia_ds = scan_predicate(root, T.SCHEMA_ABOUT).map_batches(
         wikipedia, batch_format="pandas"
@@ -1031,6 +1111,111 @@ def build_same_as(root: str, state: BuildState, dedup: bool = True) -> Dataset:
     if dedup:
         out = distinct_rows(out, ["subject", "predicate", "object"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused output scan (generate_yago's staging path)
+# ---------------------------------------------------------------------------
+
+def build_scan_outputs(root: str, state: BuildState) -> Dataset:
+    """Every STORE-SCAN output row (labels, class label/comment,
+    full-types, sameAs freebase/wikipedia) in ONE tagged pass over the
+    union of their predicate partitions, emitting (file, subject,
+    predicate, object). Four separate pipelines re-read overlapping
+    partitions (skos:prefLabel twice) and pay four executor startups;
+    at 100 TB one scan is strictly less I/O and exchange. Broadcast-
+    state mode only — the distributed path joins per pipeline
+    (build_dist) — and uses the SAME per-group kernels as the
+    individual builders, so the fused and per-pipeline paths cannot
+    drift. The static/dataset-driven parts (ontology rows, wd/dbpedia
+    links, simple-types) stay separate tiny jobs in generate_yago."""
+    from .broadcast import HashedSet
+
+    pred_to_shapes = _label_pred_to_shapes(state, LABEL_PATHS)
+    refs = {
+        "uri_mapping": state.packed_ref("uri_mapping"),
+        "shape_instances": state.packed_ref("shape_instances"),
+        "things": state.packed_ref("things"),
+        "classes": ray.put(HashedSet(state.yago_classes)),
+        "class_mapping": ray.put(state.wd_to_yago_class_mapping),
+    }
+    p31_pred = f"<{T.WDT}P31>"
+    p646_pred = f"<{T.WDT}P646>"
+    preds = set(pred_to_shapes) | {
+        T.SKOS_PREF_LABEL, T.SCHEMA_DESCRIPTION, p31_pred, p646_pred,
+        T.SCHEMA_ABOUT,
+    }
+
+    def route(batch: pd.DataFrame) -> pa.Table:
+        uri_map = get_broadcast(refs["uri_mapping"])
+        instances = get_broadcast(refs["shape_instances"])
+        things = get_broadcast(refs["things"])
+        classes = get_broadcast(refs["classes"])
+        class_map = get_broadcast(refs["class_mapping"])
+        files, subs, prs, objs = [], [], [], []
+
+        def emit(file: str, s, p, o):
+            n = len(s)
+            if n == 0:
+                return
+            files.append(np.full(n, file, dtype=object))
+            subs.append(np.asarray(s, dtype=object))
+            prs.append(
+                np.full(n, p, dtype=object)
+                if isinstance(p, str)
+                else np.asarray(p, dtype=object)
+            )
+            objs.append(np.asarray(o, dtype=object))
+
+        for pred, group in batch.groupby("predicate", sort=False):
+            shapes = pred_to_shapes.get(pred)
+            if shapes:
+                for path, s, o in _label_shape_groups(
+                    group, shapes, uri_map, instances
+                ):
+                    emit("labels", s, path, o)
+            if pred == T.SKOS_PREF_LABEL:
+                s, o = _class_label_group(group, uri_map, classes)
+                emit("class", s, T.RDFS_LABEL, o)
+            elif pred == T.SCHEMA_DESCRIPTION:
+                s, o = _class_label_group(group, uri_map, classes)
+                emit("class", s, T.RDFS_COMMENT, o)
+            elif pred == p31_pred:
+                s, o = _full_types_group(group, uri_map, things, class_map)
+                emit("full-types", s, T.RDF_TYPE, o)
+            elif pred == p646_pred:
+                s, o = _freebase_group(group, uri_map, things)
+                emit("sameAs", s, T.OWL_SAME_AS, o)
+            elif pred == T.SCHEMA_ABOUT:
+                s, o = _wikipedia_group(group, uri_map, things)
+                emit("sameAs", s, T.SCHEMA_SAME_AS, o)
+        if not files:
+            return pa.table(
+                {
+                    c: pa.array([], pa.string())
+                    for c in ("file", "subject", "predicate", "object")
+                }
+            )
+        return pa.table(
+            {
+                "file": pa.array(
+                    np.concatenate(files), pa.string(), from_pandas=True
+                ),
+                "subject": pa.array(
+                    np.concatenate(subs), pa.string(), from_pandas=True
+                ),
+                "predicate": pa.array(
+                    np.concatenate(prs), pa.string(), from_pandas=True
+                ),
+                "object": pa.array(
+                    np.concatenate(objs), pa.string(), from_pandas=True
+                ),
+            }
+        )
+
+    return scan_predicate(root, sorted(preds)).map_batches(
+        route, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1404,19 +1589,53 @@ def generate_yago(
         # the facts pipeline (broadcast-state + statement join) runs in
         # a thread; non-facts staging proceeds underneath it
         f_facts = pool.submit(build_facts, statements_root, state, dedup=False)
-        others = {
-            "class": build_classes_description(statements_root, state, dedup=False),
-            "simple-types": build_simple_types(state),
-            "full-types": build_full_types(statements_root, state, dedup=False),
-            "labels": build_labels(statements_root, state, dedup=False),
-            "sameAs": build_same_as(statements_root, state, dedup=False),
-            "schema": build_yago_schema(state.schema),
-            "shapes": build_yago_shapes(state.schema),
-        }
+        if state.distributed:
+            # the distributed path joins per pipeline (build_dist);
+            # each builder routes there internally
+            others = {
+                "class": build_classes_description(statements_root, state, dedup=False),
+                "simple-types": build_simple_types(state),
+                "full-types": build_full_types(statements_root, state, dedup=False),
+                "labels": build_labels(statements_root, state, dedup=False),
+                "sameAs": build_same_as(statements_root, state, dedup=False),
+                "schema": build_yago_schema(state.schema),
+                "shapes": build_yago_shapes(state.schema),
+            }
+            scan_ds = None
+        else:
+            # ONE fused scan covers the four store-scan pipelines
+            # (labels, class label/comment, full-types, sameAs
+            # freebase/wikipedia); only the static/dataset-driven rows
+            # stay as separate tiny jobs
+            others = {
+                "class": _classes_static_ds(state),
+                "simple-types": build_simple_types(state),
+                "sameAs": _same_as_static(state),
+                "schema": build_yago_schema(state.schema),
+                "shapes": build_yago_shapes(state.schema),
+            }
+            scan_ds = build_scan_outputs(statements_root, state)
+
+        def stage_tagged(name, ds):
+            # rows already carry their output-file tag
+            def fn(batch: pa.Table) -> pa.Table:
+                empty = pa.array([""] * batch.num_rows, pa.string())
+                return (
+                    batch.append_column("annotation_predicate", empty)
+                    .append_column("annotation_object", empty)
+                    .select(_STAGE_COLS)
+                )
+
+            ds.map_batches(fn, batch_format="pyarrow").write_parquet(
+                os.path.join(stage_dir, name)
+            )
+
         _mark("raw-plans")
         if stage_workers == 1:
             for name, ds in others.items():
                 stage_one(name, ds)
+            if scan_ds is not None:
+                stage_tagged("scan-outputs", scan_ds)
             _mark("stage-others (overlapping facts join)")
             facts, annotated = f_facts.result()
             _mark("facts-join")
@@ -1430,6 +1649,8 @@ def generate_yago(
             futures = [
                 pool.submit(stage_one, name, ds) for name, ds in others.items()
             ]
+            if scan_ds is not None:
+                futures.append(pool.submit(stage_tagged, "scan-outputs", scan_ds))
             facts, annotated = f_facts.result()
             _mark("facts-join (overlapping other staging)")
             futures += [
