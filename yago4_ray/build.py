@@ -680,6 +680,10 @@ def build_facts(
     facts = joined.map_batches(to_triples, batch_format="pandas")
     if dedup:
         facts = distinct_rows(facts, ["subject", "predicate", "object"])
+    # advisory size for downstream shuffle-partition sizing (the facts
+    # rows skip parquet staging and union straight into the combined
+    # dedup, so its partition count must account for them)
+    facts.join_size_bytes = joined.size_bytes()
 
     # ---- annotations (plan.rs:1034-1064, 1165-1192) ----
     if ann_configs:
@@ -1555,18 +1559,29 @@ def generate_yago(
     ]
 
     def tag(name):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["file"] = name
-            if "annotation_predicate" not in batch.columns:
-                batch["annotation_predicate"] = ""
-                batch["annotation_object"] = ""
-            return batch[_STAGE_COLS]
+        # Arrow out: tagged rows feed either the staged parquet write or
+        # the combined dedup exchange directly — never pandas pickles
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            names = set(batch.column_names)
+
+            def col(c):
+                if c == "file":
+                    return pa.array(
+                        np.full(n, name, dtype=object), pa.string(),
+                        from_pandas=True,
+                    )
+                if c in names:
+                    a = batch.column(c)
+                    return a.cast(pa.string()) if pa.types.is_null(a.type) else a
+                return pa.array([""] * n, pa.string())
+
+            return pa.table({c: col(c) for c in _STAGE_COLS})
 
         return fn
 
     def stage_one(name, ds):
-        ds.map_batches(tag(name), batch_format="pandas").write_parquet(
+        ds.map_batches(tag(name), batch_format="pyarrow").write_parquet(
             os.path.join(stage_dir, name)
         )
 
@@ -1639,13 +1654,9 @@ def generate_yago(
             _mark("stage-others (overlapping facts join)")
             facts, annotated = f_facts.result()
             _mark("facts-join")
-            stage_one("annotated-facts", annotated)
-            stage_one("facts", facts)
-            _mark("stage-facts+annotated")
         else:
-            # the 7 non-facts outputs don't depend on the join — their
-            # staging jobs run UNDER it; facts/annotated staging join in
-            # as soon as the join resolves
+            # the non-facts outputs don't depend on the join — their
+            # staging jobs run UNDER it
             futures = [
                 pool.submit(stage_one, name, ds) for name, ds in others.items()
             ]
@@ -1653,18 +1664,19 @@ def generate_yago(
                 futures.append(pool.submit(stage_tagged, "scan-outputs", scan_ds))
             facts, annotated = f_facts.result()
             _mark("facts-join (overlapping other staging)")
-            futures += [
-                pool.submit(stage_one, "facts", facts),
-                pool.submit(stage_one, "annotated-facts", annotated),
-            ]
             for f in futures:
                 f.result()
-            _mark("stage-triples")
+            _mark("stage-others")
 
         staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
-        # dedup partition count sized to the actual staged bytes (a fixed
-        # count means unbounded per-partition frames as outputs grow)
+        # dedup partition count sized to the actual bytes (a fixed count
+        # means unbounded per-partition frames as outputs grow); the
+        # facts join is already materialized (bounded block count), so
+        # facts/annotated rows skip the parquet staging round trip and
+        # union straight into the combined dedup exchange — its
+        # partition sizing counts their bytes via facts.join_size_bytes
         staged_bytes = sum(os.path.getsize(f) for f in staged_files)
+        facts_bytes = getattr(facts, "join_size_bytes", 0) or 0
         # bound the read's block count too: the dedup shuffle's exchange is
         # (input blocks × output partitions) objects, and one-block-per-staged-
         # file makes it quadratic in file count (measured 723×723, 85 s at
@@ -1672,15 +1684,20 @@ def generate_yago(
         from .sources import read_blocks_for_nbytes
 
         n_read_blocks = read_blocks_for_nbytes(staged_bytes)
-        combined = distinct_rows(
-            ray.data.read_parquet(
-                staged_files,
-                override_num_blocks=(
-                    n_read_blocks if len(staged_files) > n_read_blocks else None
-                ),
+        staged_read = ray.data.read_parquet(
+            staged_files,
+            override_num_blocks=(
+                n_read_blocks if len(staged_files) > n_read_blocks else None
             ),
+        )
+        combined_in = staged_read.union(
+            facts.map_batches(tag("facts"), batch_format="pyarrow"),
+            annotated.map_batches(tag("annotated-facts"), batch_format="pyarrow"),
+        )
+        combined = distinct_rows(
+            combined_in,
             _STAGE_COLS,  # full key incl. annotation columns ("" on triples)
-            num_parts=max(32, partitions_for_nbytes(staged_bytes)),
+            num_parts=max(32, partitions_for_nbytes(staged_bytes + facts_bytes)),
             keep_part_column=True,  # deterministic part-file naming in the sink
         )
         combined.write_datasink(
