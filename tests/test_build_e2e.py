@@ -57,3 +57,38 @@ def test_outputs_nonempty(build_outputs, oracle_outputs):
     assert any(
         p == "<http://schema.org/elevation>" for _, p, _ in oracle_outputs["facts"]
     )
+
+
+def test_written_outputs_match_oracle(
+    statements_root, oracle_outputs, tmp_path_factory
+):
+    """Content gate for the WRITE path — the fused tagged output scan,
+    the facts/annotated in-memory union, the combined full-key dedup,
+    and the multi-file gz sink together must reproduce the oracle's
+    triple sets exactly (write=False is gated per output by
+    test_output_matches_oracle; this drives write=True and re-reads
+    every emitted gz file)."""
+    import glob
+    import gzip
+    import os
+
+    from yago4_ray.build import OUTPUT_FILE_NAMES, generate_yago
+
+    out_dir = str(tmp_path_factory.mktemp("written"))
+    generate_yago(statements_root, out_dir=out_dir, write=True)
+    for name, want in oracle_outputs.items():
+        fname = OUTPUT_FILE_NAMES[name]
+        got = set()
+        for part in sorted(glob.glob(os.path.join(out_dir, fname, "part-*"))):
+            with gzip.open(part, "rt", encoding="utf-8") as f:
+                for line in f:
+                    tok = line.rstrip("\n").split("\t")
+                    if tok[0] == "<<":
+                        got.add((tok[1], tok[2], tok[3], tok[5], tok[6]))
+                    else:
+                        got.add(tuple(tok[:3]))
+        want = set(want)
+        if name == "annotated-facts":
+            got = {t if len(t) == 5 else (*t, "", "") for t in got}
+            want = {t if len(t) == 5 else (*t, "", "") for t in want}
+        assert got == want, f"{name}: {len(got)} written vs {len(want)} oracle"
