@@ -40,6 +40,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
+def _read_dim(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
+    """Small dimension table read driver-side (pyarrow, column-pruned)
+    for broadcast joins — a dim that fits in a broadcast dict does not
+    need a Ray job to load; at 100 TB the fact side streams and the dim
+    side is still a point read."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).to_pandas()
+
+
 def _lowest_rows_pq(
     sf_dir: str, table: str, col: str, n: int, columns: list[str]
 ) -> pd.DataFrame:
@@ -155,8 +167,8 @@ def q3_revenue_by_nation(sf_dir: str):
     Small dims (customer, nation) broadcast; the big side streams."""
     import ray
 
-    customers = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nations = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    customers = _read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nations = _read_dim(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust_nation = dict(zip(customers["c_custkey"], customers["c_nationkey"]))
     nation_name = dict(zip(nations["n_nationkey"], nations["n_name"]))
     ref = ray.put((cust_nation, nation_name))
@@ -335,9 +347,9 @@ def q11_supplier_region(sf_dir: str):
     """lineitem ⨝ supplier ⨝ nation ⨝ region rollup (broadcast dims)."""
     import ray
 
-    suppliers = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    nations = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    regions = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    suppliers = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nations = _read_dim(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    regions = _read_dim(sf_dir, "region", ["r_regionkey", "r_name"])
     supp_nation = dict(zip(suppliers["s_suppkey"], suppliers["s_nationkey"]))
     nation_region = dict(zip(nations["n_nationkey"], nations["n_regionkey"]))
     region_name = dict(zip(regions["r_regionkey"], regions["r_name"]))
