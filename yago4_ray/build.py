@@ -1668,15 +1668,28 @@ def generate_yago(
                 f.result()
             _mark("stage-others")
 
+        # facts rows skip the parquet round trip (the join output is
+        # materialized with a bounded block count) and union straight
+        # into the combined dedup exchange. The ANNOTATED pipeline is
+        # different: it contains its own copartition_join exchange +
+        # pq:/pqv: scan — nesting that sub-DAG inside the (already
+        # all-to-all) dedup job serializes two shuffles in one job, so
+        # it still stages through parquet, overlapping nothing worse
+        # than its own wall. YAGO4_RAY_STAGE_FACTS=1 restores parquet
+        # staging for facts too (A/B lever).
+        stage_facts = os.environ.get("YAGO4_RAY_STAGE_FACTS") == "1"
+        if stage_facts:
+            stage_one("facts", facts)
+        stage_one("annotated-facts", annotated)
+        _mark("stage-annotated" + ("+facts" if stage_facts else ""))
+
         staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
         # dedup partition count sized to the actual bytes (a fixed count
-        # means unbounded per-partition frames as outputs grow); the
-        # facts join is already materialized (bounded block count), so
-        # facts/annotated rows skip the parquet staging round trip and
-        # union straight into the combined dedup exchange — its
-        # partition sizing counts their bytes via facts.join_size_bytes
+        # means unbounded per-partition frames as outputs grow)
         staged_bytes = sum(os.path.getsize(f) for f in staged_files)
-        facts_bytes = getattr(facts, "join_size_bytes", 0) or 0
+        facts_bytes = (
+            0 if stage_facts else getattr(facts, "join_size_bytes", 0) or 0
+        )
         # bound the read's block count too: the dedup shuffle's exchange is
         # (input blocks × output partitions) objects, and one-block-per-staged-
         # file makes it quadratic in file count (measured 723×723, 85 s at
@@ -1690,9 +1703,12 @@ def generate_yago(
                 n_read_blocks if len(staged_files) > n_read_blocks else None
             ),
         )
-        combined_in = staged_read.union(
-            facts.map_batches(tag("facts"), batch_format="pyarrow"),
-            annotated.map_batches(tag("annotated-facts"), batch_format="pyarrow"),
+        combined_in = (
+            staged_read
+            if stage_facts
+            else staged_read.union(
+                facts.map_batches(tag("facts"), batch_format="pyarrow")
+            )
         )
         combined = distinct_rows(
             combined_in,
