@@ -581,7 +581,10 @@ def collect_instance_counts(root: str) -> dict[str, int]:
 
 
 # fused-reduction row kinds (routing column of the single-scan job)
-_K_MARKER, _K_WIKI, _K_LABEL, _K_ENWIKI, _K_P279, _K_COUNT = range(6)
+(
+    _K_MARKER, _K_WIKI, _K_LABEL, _K_ENWIKI, _K_P279, _K_COUNT,
+    _K_BESTRANK,
+) = range(7)
 
 
 def collect_input_reductions(
@@ -604,7 +607,7 @@ def collect_input_reductions(
     driver (class-graph scale) instead of a shuffle.
 
     Returns (uri_mapping, uri_ds, enwiki_mapping, enwiki_ds, p279_edges,
-    instance_counts) with content identical to the four separate
+    instance_counts, best_rank) with content identical to the separate
     builders (the merge kernel and candidate kernels are shared).
     """
     import pyarrow.compute as pc
@@ -613,9 +616,13 @@ def collect_input_reductions(
 
     p279_pred = f"<{T.WDT}P279>"
     p31_pred = f"<{T.WDT}P31>"
-    preds = [T.SCHEMA_ABOUT, T.SKOS_PREF_LABEL, p279_pred, p31_pred]
-    if size == "full":
-        preds.append(T.RDF_TYPE)
+    # rdf:type is ALWAYS scanned: it carries the wikibase:Item markers
+    # (full size only) AND the BestRank statement ids — folding the
+    # best-rank reduction in here removes a second full pass over the
+    # store's biggest partition (best_rank_hashed_set's own scan)
+    preds = [
+        T.SCHEMA_ABOUT, T.SKOS_PREF_LABEL, p279_pred, p31_pred, T.RDF_TYPE,
+    ]
     needle = ENWIKI_PREFIX if size == "en-wikipedia" else ".wikipedia.org/wiki/"
 
     _zero_h = np.zeros(0, dtype=np.uint64)
@@ -654,8 +661,21 @@ def collect_input_reductions(
         outs: list[pa.Table] = []
         for pred, g in batch.groupby("predicate", sort=False):
             if pred == T.RDF_TYPE:
-                items = g.loc[g["object"] == T.WIKIBASE_ITEM, "subject"]
-                outs.append(_unified(_K_MARKER, items, h=_hash_series(items)))
+                if size == "full":
+                    items = g.loc[g["object"] == T.WIKIBASE_ITEM, "subject"]
+                    outs.append(
+                        _unified(_K_MARKER, items, h=_hash_series(items))
+                    )
+                # BestRank membership travels as 8-byte hashes only
+                # (statement ids never reach the driver as strings)
+                br = g.loc[g["object"] == T.WIKIBASE_BEST_RANK, "subject"]
+                outs.append(
+                    _unified(
+                        _K_BESTRANK,
+                        np.full(len(br), "", dtype=object),
+                        h=_hash_series(br),
+                    )
+                )
             elif pred == T.SCHEMA_ABOUT:
                 wiki = _wiki_candidates(g)
                 outs.append(
@@ -702,6 +722,17 @@ def collect_input_reductions(
 
     def part(k: int) -> pa.Table:
         return tbl.filter(pc.equal(kind_col, k))
+
+    # --- BestRank statement set (8-byte hashes; M16/J6) ---
+    from .broadcast import HashedSet
+
+    br_h = part(_K_BESTRANK)["h"].to_numpy()
+    try:
+        best_rank = HashedSet.from_prehashed(br_h, len(br_h))
+    except ValueError:  # 64-bit collision: rebuild from the strings
+        from .build import best_rank_statements
+
+        best_rank = HashedSet(best_rank_statements(root))
 
     # --- enwiki mapping ---
     etbl = part(_K_ENWIKI)
@@ -786,6 +817,7 @@ def collect_input_reductions(
         enwiki_ds,
         p279_edges,
         instance_counts,
+        best_rank,
     )
 
 
@@ -1133,23 +1165,25 @@ def build_state(
             enwiki_ds,
             p279_edges,
             instance_counts,
+            best_rank,
         ) = collect_input_reductions(statements_root, schema, stats, size)
-        # the clean-value scan needs ONLY the URI broadcast and the
-        # best-rank scan only the store — start both NOW so they
-        # overlap class machinery + shape-instance resolution
-        # instead of serializing behind them in build_facts
+        # the clean-value scan needs ONLY the URI broadcast — start it
+        # NOW so it overlaps class machinery + shape-instance resolution
+        # instead of serializing behind them in build_facts. BestRank
+        # came out of the same fused scan (a resolved future keeps
+        # build_facts' consumption code uniform).
         from . import build as B  # deferred: build imports state
 
         uri_packed = ray.put(uri_mapping)
-        _pre_pool = _cf.ThreadPoolExecutor(max_workers=2)
+        _pre_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        _f_rank: _cf.Future = _cf.Future()
+        _f_rank.set_result(best_rank)
         prewarmed = {
             "clean_maps": _pre_pool.submit(
                 B.build_clean_hmms_from_ref, statements_root, uri_packed,
                 stats,
             ),
-            "best_rank": _pre_pool.submit(
-                B.best_rank_hashed_set, statements_root
-            ),
+            "best_rank": _f_rank,
         }
         _pre_pool.shutdown(wait=False)
     else:
