@@ -714,47 +714,72 @@ def collect_input_reductions(
             return _unified(_K_MARKER, [])
         return pa.concat_tables(outs)
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str):
+        nonlocal _t0
+        import os as _os
+
+        if _os.environ.get("YAGO4_RAY_TIMINGS"):
+            now = _time.perf_counter()
+            print(f"[input-reductions] {phase}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     rows = scan_predicate(root, preds).map_batches(route, batch_format="pandas")
     tbl = pa.concat_tables(
         ray.get(rows.to_arrow_refs()), promote_options="permissive"
     )
+    _mark("scan+collect")
     kind_col = tbl.column("kind")
 
     def part(k: int) -> pa.Table:
         return tbl.filter(pc.equal(kind_col, k))
 
-    # --- BestRank statement set (8-byte hashes; M16/J6) ---
-    from .broadcast import HashedSet
+    # the per-kind reductions below are independent Arrow/numpy work
+    # over the immutable collected table — run them in threads (the
+    # kernels release the GIL) while the MAIN thread does the URI
+    # candidate prep + priority merge, the serial critical path
+    import concurrent.futures as _icf
 
-    br_h = part(_K_BESTRANK)["h"].to_numpy()
-    try:
-        best_rank = HashedSet.from_prehashed(br_h, len(br_h))
-    except ValueError:  # 64-bit collision: rebuild from the strings
-        from .build import best_rank_statements
+    def _best_rank():
+        from .broadcast import HashedSet
 
-        best_rank = HashedSet(best_rank_statements(root))
+        br_h = part(_K_BESTRANK)["h"].to_numpy()
+        try:
+            return HashedSet.from_prehashed(br_h, len(br_h))
+        except ValueError:  # 64-bit collision: rebuild from the strings
+            from .build import best_rank_statements
 
-    # --- enwiki mapping ---
-    etbl = part(_K_ENWIKI)
-    enwiki_mapping = HashedMap.from_arrow(
-        etbl["item"], etbl["uri"], hashes=etbl["h"]
-    )
-    enwiki_ds = ray.data.from_arrow(
-        etbl.select(["item", "uri"]).rename_columns(["item", "url"])
-    )
+            return HashedSet(best_rank_statements(root))
 
-    # --- P279 edges (class-graph scale, driver) ---
-    ptbl = part(_K_P279)
-    p279_edges = list(zip(ptbl["item"].to_pylist(), ptbl["uri"].to_pylist()))
+    def _enwiki():
+        etbl = part(_K_ENWIKI)
+        mapping = HashedMap.from_arrow(
+            etbl["item"], etbl["uri"], hashes=etbl["h"]
+        )
+        ds_ = ray.data.from_arrow(
+            etbl.select(["item", "uri"]).rename_columns(["item", "url"])
+        )
+        return mapping, ds_
 
-    # --- per-class instance counts: sum the batch partials in C++ ---
-    ctbl = part(_K_COUNT)
-    csum = pa.TableGroupBy(ctbl.select(["item", "n"]), "item").aggregate(
-        [("n", "sum")]
-    )
-    instance_counts = dict(
-        zip(csum["item"].to_pylist(), csum["n_sum"].to_pylist())
-    )
+    def _p279():
+        ptbl = part(_K_P279)
+        return list(zip(ptbl["item"].to_pylist(), ptbl["uri"].to_pylist()))
+
+    def _counts():
+        ctbl = part(_K_COUNT)
+        csum = pa.TableGroupBy(ctbl.select(["item", "n"]), "item").aggregate(
+            [("n", "sum")]
+        )
+        return dict(zip(csum["item"].to_pylist(), csum["n_sum"].to_pylist()))
+
+    _side_pool = _icf.ThreadPoolExecutor(max_workers=4)
+    f_rank = _side_pool.submit(_best_rank)
+    f_enwiki = _side_pool.submit(_enwiki)
+    f_p279 = _side_pool.submit(_p279)
+    f_counts = _side_pool.submit(_counts)
 
     # --- URI mapping: the 4-source priority merge (plan.rs:227-382) ---
     from_schema: dict[str, str] = {}
@@ -804,11 +829,19 @@ def collect_input_reductions(
         ],
         promote_options="permissive",
     )
+    _mark("uri-candidates")
     out_tbl = merge_uri_candidates_arrow(cand)
+    _mark("uri-merge")
     uri_mapping = HashedMap.from_arrow(
         out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
     )
     uri_ds = ray.data.from_arrow(out_tbl.select(["item", "uri"]))
+    enwiki_mapping, enwiki_ds = f_enwiki.result()
+    p279_edges = f_p279.result()
+    instance_counts = f_counts.result()
+    best_rank = f_rank.result()
+    _side_pool.shutdown(wait=False)
+    _mark("uri-hashedmap+side-reductions")
     stats.set_global("Total URI mapping size", len(uri_mapping))
     return (
         uri_mapping,
