@@ -209,3 +209,47 @@ def test_hashedmap_from_arrow_duplicate_keys_fall_back():
         hashes=pa.array(_hash_series(keys), pa.uint64()),
     )
     assert m.get("a") == "3" and m.get("b") == "2" and m.get("c") is None
+
+
+def test_sharded_uri_merge_matches_unsharded():
+    """merge_uri_candidates_sharded must produce the exact same mapping
+    SET as the single-shot kernel: sharding by the item hash co-locates
+    complete item groups, so only the row order across items may differ."""
+    import numpy as np
+    import pyarrow as pa
+
+    from yago4_ray.broadcast import _hash_series
+    from yago4_ray.state import (
+        merge_uri_candidates_arrow,
+        merge_uri_candidates_sharded,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    items = [
+        f"<http://www.wikidata.org/entity/Q{i}>"
+        for i in rng.integers(0, 1500, n)
+    ]
+    # priorities: 0 = schema, 1 = wiki, 2 = label, 99 = kept marker
+    pr = rng.choice([0, 1, 2, 99], n, p=[0.05, 0.3, 0.4, 0.25])
+    uris = np.where(
+        pr == 99, "", [f"<http://yago-knowledge.org/resource/U{i}>"
+                       for i in rng.integers(0, 4000, n)]
+    )
+    cand = pa.table(
+        {
+            "item": pa.array(items, pa.string()),
+            "priority": pa.array(pr, pa.int64()),
+            "uri": pa.array(uris.tolist(), pa.string()),
+            "h": pa.array(_hash_series(items), pa.uint64()),
+        }
+    )
+    base = merge_uri_candidates_arrow(cand)
+    shard = merge_uri_candidates_sharded(cand, min_rows=0, shards=8)
+
+    def as_set(t):
+        return set(zip(t["item"].to_pylist(), t["uri"].to_pylist(),
+                       t["h"].to_pylist()))
+
+    assert as_set(shard) == as_set(base)
+    assert shard.num_rows == base.num_rows

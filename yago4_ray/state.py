@@ -379,6 +379,32 @@ def merge_uri_candidates_arrow(tbl: "pa.Table") -> "pa.Table":
     return pa.table(cols)
 
 
+def merge_uri_candidates_sharded(
+    cand: "pa.Table", min_rows: int = 1_000_000, shards: int = 8
+) -> "pa.Table":
+    """`merge_uri_candidates_arrow` sharded by item hash: every
+    candidate row of an item carries the same worker-computed `h`, so
+    `h % shards` co-locates complete item groups and the per-shard
+    merges are independent — they run in a thread pool (the kernels are
+    Arrow/numpy C code that releases the GIL, so threads scale on the
+    driver without serializing the strings). `filter` preserves row
+    order within a shard, so each item sees its candidates in the same
+    order as the unsharded merge — identical output content. Below
+    `min_rows` the single-shot merge wins (sharding pays one
+    filter+concat pass)."""
+    import pyarrow as pa
+
+    if cand.num_rows < min_rows or "h" not in cand.schema.names:
+        return merge_uri_candidates_arrow(cand)
+    import concurrent.futures as cf
+
+    sel = cand.column("h").to_numpy() % np.uint64(shards)
+    parts = [cand.filter(pa.array(sel == s)) for s in range(shards)]
+    with cf.ThreadPoolExecutor(max_workers=shards) as pool:
+        outs = list(pool.map(merge_uri_candidates_arrow, parts))
+    return pa.concat_tables(outs).combine_chunks()
+
+
 def merge_uri_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
     """pandas adapter over merge_uri_candidates_arrow (used by the
     distributed groupby(item) strategy, whose parts arrive as pandas)."""
@@ -497,7 +523,7 @@ def build_uri_mapping(
                 flush=True,
             )
             _t = _time.perf_counter()
-        out_tbl = merge_uri_candidates_arrow(cand_tbl)
+        out_tbl = merge_uri_candidates_sharded(cand_tbl)
         if _os.environ.get("YAGO4_RAY_TIMINGS"):
             print(
                 f"[uri_mapping] driver-merge-kernel: "
@@ -830,7 +856,7 @@ def collect_input_reductions(
         promote_options="permissive",
     )
     _mark("uri-candidates")
-    out_tbl = merge_uri_candidates_arrow(cand)
+    out_tbl = merge_uri_candidates_sharded(cand)
     _mark("uri-merge")
     uri_mapping = HashedMap.from_arrow(
         out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
