@@ -1581,8 +1581,12 @@ def generate_yago(
         return fn
 
     def stage_one(name, ds):
+        # zstd staging: staged bytes are written once and read once by
+        # the dedup job; on this host's ~100 MB/s disk the snappy files
+        # made that job I/O-bound (flat 8→32 CPUs). zstd ~halves the
+        # bytes for a decode cost that parallelizes.
         ds.map_batches(tag(name), batch_format="pyarrow").write_parquet(
-            os.path.join(stage_dir, name)
+            os.path.join(stage_dir, name), compression="zstd"
         )
 
     # staging concurrency follows DATA SIZE: at small inputs each job is
@@ -1598,7 +1602,10 @@ def generate_yago(
     from .sources import store_nbytes
 
     _store_bytes = store_nbytes(statements_root)
-    wide_input = _store_bytes > 256 * 1024 * 1024
+    # threshold on UNCOMPRESSED data bytes (store_nbytes' metric): the
+    # 22 M-statement store is ~1.2 GB uncompressed, sf0.1's 2.2 M is
+    # ~120 MB — the gate separates the two regimes with margin
+    wide_input = _store_bytes > 512 * 1024 * 1024
     stage_workers = 1 if wide_input else 8
     with _cf.ThreadPoolExecutor(max_workers=max(stage_workers, 1) + 2) as pool:
         # the facts pipeline (broadcast-state + statement join) runs in
@@ -1642,7 +1649,7 @@ def generate_yago(
                 )
 
             ds.map_batches(fn, batch_format="pyarrow").write_parquet(
-                os.path.join(stage_dir, name)
+                os.path.join(stage_dir, name), compression="zstd"
             )
 
         _mark("raw-plans")
@@ -1673,56 +1680,94 @@ def generate_yago(
         # into the combined dedup exchange. The ANNOTATED pipeline is
         # different: it contains its own copartition_join exchange +
         # pq:/pqv: scan — nesting that sub-DAG inside the (already
-        # all-to-all) dedup job serializes two shuffles in one job, so
-        # it still stages through parquet, overlapping nothing worse
-        # than its own wall. YAGO4_RAY_STAGE_FACTS=1 restores parquet
-        # staging for facts too (A/B lever).
+        # all-to-all) dedup job serializes two shuffles in one job. It
+        # used to stage through parquet and ride the combined dedup:
+        # ~5.7 s of SERIAL wall at EVERY CPU count (floor-bound, not CPU
+        # bound). It shares nothing with the main dedup beyond the
+        # already-materialized join, so it runs as its own dedup+sink
+        # job in a thread, fully overlapped with the main dedup+write.
+        # YAGO4_RAY_STAGE_FACTS=1 restores parquet staging for facts
+        # (A/B lever).
         stage_facts = os.environ.get("YAGO4_RAY_STAGE_FACTS") == "1"
         if stage_facts:
             stage_one("facts", facts)
-        stage_one("annotated-facts", annotated)
-        _mark("stage-annotated" + ("+facts" if stage_facts else ""))
 
-        staged_files = sorted(glob.glob(os.path.join(stage_dir, "*", "*.parquet")))
-        # dedup partition count sized to the actual bytes (a fixed count
-        # means unbounded per-partition frames as outputs grow)
-        staged_bytes = sum(os.path.getsize(f) for f in staged_files)
+        ann_name = "annotated-facts"
         facts_bytes = (
             0 if stage_facts else getattr(facts, "join_size_bytes", 0) or 0
         )
-        # bound the read's block count too: the dedup shuffle's exchange is
-        # (input blocks × output partitions) objects, and one-block-per-staged-
-        # file makes it quadratic in file count (measured 723×723, 85 s at
-        # 8 CPUs vs 25 s bounded — sources.read_blocks_for_nbytes)
-        from .sources import read_blocks_for_nbytes
 
-        n_read_blocks = read_blocks_for_nbytes(staged_bytes)
-        staged_read = ray.data.read_parquet(
-            staged_files,
-            override_num_blocks=(
-                n_read_blocks if len(staged_files) > n_read_blocks else None
-            ),
-        )
-        combined_in = (
-            staged_read
-            if stage_facts
-            else staged_read.union(
-                facts.map_batches(tag("facts"), batch_format="pyarrow")
+        def ann_job():
+            ann_in = annotated.map_batches(
+                tag(ann_name), batch_format="pyarrow"
             )
-        )
-        combined = distinct_rows(
-            combined_in,
-            _STAGE_COLS,  # full key incl. annotation columns ("" on triples)
-            num_parts=max(32, partitions_for_nbytes(staged_bytes + facts_bytes)),
-            keep_part_column=True,  # deterministic part-file naming in the sink
-        )
-        combined.write_datasink(
-            MultiNTriplesGzDatasink(
-                out_dir, triple_names, lineage=lineage,
-                extensions={"annotated-facts": ".ntx.gz"},
+            ann_out = distinct_rows(
+                ann_in,
+                _STAGE_COLS,
+                # annotations are a small fraction of the facts join
+                num_parts=max(8, partitions_for_nbytes(facts_bytes) // 4),
+                keep_part_column=True,
             )
-        )
-        _mark("dedup+gz-write")
+            ann_out.write_datasink(
+                MultiNTriplesGzDatasink(
+                    out_dir, {ann_name: triple_names[ann_name]},
+                    lineage=lineage, extensions={ann_name: ".ntx.gz"},
+                )
+            )
+            return ann_out
+
+        f_ann = pool.submit(ann_job) if ann_name in triple_names else None
+        main_names = {k: v for k, v in triple_names.items() if k != ann_name}
+
+        combined = None
+        if main_names:
+            staged_files = sorted(
+                glob.glob(os.path.join(stage_dir, "*", "*.parquet"))
+            )
+            # dedup partition count sized to the actual data volume (a
+            # fixed count means unbounded per-partition frames as
+            # outputs grow); codec-invariant footer bytes, not disk
+            from .sources import parquet_data_nbytes
+
+            staged_bytes = parquet_data_nbytes(staged_files)
+            # bound the read's block count too: the dedup shuffle's
+            # exchange is (input blocks × output partitions) objects, and
+            # one-block-per-staged-file makes it quadratic in file count
+            # (measured 723×723, 85 s at 8 CPUs vs 25 s bounded —
+            # sources.read_blocks_for_nbytes)
+            from .sources import read_blocks_for_nbytes
+
+            n_read_blocks = read_blocks_for_nbytes(staged_bytes)
+            staged_read = ray.data.read_parquet(
+                staged_files,
+                override_num_blocks=(
+                    n_read_blocks if len(staged_files) > n_read_blocks else None
+                ),
+            )
+            combined_in = (
+                staged_read
+                if stage_facts
+                else staged_read.union(
+                    facts.map_batches(tag("facts"), batch_format="pyarrow")
+                )
+            )
+            combined = distinct_rows(
+                combined_in,
+                _STAGE_COLS,  # full key incl. annotation columns ("")
+                num_parts=max(
+                    32, partitions_for_nbytes(staged_bytes + facts_bytes)
+                ),
+                keep_part_column=True,  # deterministic part-file naming
+            )
+            combined.write_datasink(
+                MultiNTriplesGzDatasink(
+                    out_dir, main_names, lineage=lineage,
+                )
+            )
+        if f_ann is not None:
+            ann_written = f_ann.result()
+            combined = combined if combined is not None else ann_written
+        _mark("dedup+gz-write (annotated overlapped)")
     shutil.rmtree(stage_dir, ignore_errors=True)
     state.stats.write(os.path.join(out_dir, "stats.tsv"))
     return {"combined": combined, "annotated-facts": annotated}

@@ -107,7 +107,7 @@ def default_join_partitions(cap: int | None = 8) -> int:
     return min(n, cap) if cap else n
 
 
-def partitions_for_nbytes(nbytes: int, target_mb: int = 48, cap: int = 512) -> int:
+def partitions_for_nbytes(nbytes: int, target_mb: int = 96, cap: int = 512) -> int:
     """Partition count sized to DATA VOLUME with a cluster floor.
 
     The fixed CPU-derived default is right for small inputs (aggregator
@@ -115,8 +115,11 @@ def partitions_for_nbytes(nbytes: int, target_mb: int = 48, cap: int = 512) -> i
     worker's heap — its size must stay bounded as data grows, or an
     8-CPU/4-partition join over tens of millions of rows spills and
     anti-scales (measured: 44 M-row build at 8 CPUs took 4.4× the 22 M
-    time before this sizing). `target_mb` is on-disk parquet bytes per
-    partition (~4× that in heap once decoded)."""
+    time before this sizing). `nbytes` is UNCOMPRESSED parquet data
+    bytes (`sources.parquet_data_nbytes` — codec-invariant; on-disk
+    bytes swing 10–25× with codec and sort order); Arrow heap is
+    ~2–2.5× that, so the 96 MB target bounds a partition at ~200–240 MB
+    in a worker's heap."""
     base = default_join_partitions(cap=None)
     by_size = int(nbytes // (target_mb << 20)) + 1
     return max(base, min(by_size, cap))

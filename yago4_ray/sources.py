@@ -148,26 +148,53 @@ def write_statement_store(
         .groupby("__part")
         .map_groups(sort_part, batch_format="pyarrow")
     )
-    clustered.write_parquet(root, partition_cols=["pred_key"])
+    # zstd: the store is written once and scanned by every downstream
+    # stage; ~half the on-disk bytes vs snappy for a decode cost that
+    # parallelizes across scan tasks (this host's disk is ~100 MB/s,
+    # so store I/O otherwise bounds ingest AND every wide scan)
+    clustered.write_parquet(
+        root, partition_cols=["pred_key"], compression="zstd"
+    )
+
+
+def parquet_data_nbytes(paths: list[str]) -> int:
+    """UNCOMPRESSED (encoded) data bytes of parquet files, from the
+    footers' per-row-group `total_byte_size` — metadata reads only.
+
+    This is the codec-invariant data-volume metric every shuffle /
+    partition sizing decision keys on. On-disk file size is NOT usable
+    for that: sorted string triples compress ~10–25× under zstd (and
+    variably under snappy, depending on dictionary-page fallback), so
+    the same logical data can read as 130 MB or 3 GB on disk. Footer
+    `total_byte_size` moves with the data, not the codec."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        md = pq.read_metadata(p)
+        for i in range(md.num_row_groups):
+            total += md.row_group(i).total_byte_size
+    return total
 
 
 def store_nbytes(root: str, predicates: list[str] | None = None) -> int:
-    """On-disk parquet bytes of a statement store (optionally only the
-    partitions of some predicates) — the cheap data-volume estimate
-    that sizes shuffle partition counts (`joins.partitions_for_nbytes`).
-    A directory listing, not a data scan."""
+    """Uncompressed data bytes of a statement store (optionally only
+    the partitions of some predicates) — the cheap codec-invariant
+    data-volume estimate that sizes shuffle partition counts
+    (`joins.partitions_for_nbytes`). Footer metadata reads only, no
+    data scan."""
     roots = [root]
     if predicates is not None:
         roots = [
             os.path.join(root, f"pred_key={predicate_key(p)}") for p in predicates
         ]
-    total = 0
+    paths = []
     for r in roots:
         for dirpath, _dirs, files in os.walk(r):
             for f in files:
                 if f.endswith(".parquet"):
-                    total += os.path.getsize(os.path.join(dirpath, f))
-    return total
+                    paths.append(os.path.join(dirpath, f))
+    return parquet_data_nbytes(paths)
 
 
 def store_num_rows(root: str, predicates: list[str] | None = None) -> int:
@@ -193,16 +220,17 @@ def store_num_rows(root: str, predicates: list[str] | None = None) -> int:
     return total
 
 
-def read_blocks_for_nbytes(nbytes: int, target_mb: int = 32, cap: int = 2048) -> int:
+def read_blocks_for_nbytes(nbytes: int, target_mb: int = 64, cap: int = 2048) -> int:
     """Read block count for a many-small-file parquet read that FEEDS A
     SHUFFLE. Ray's sort shuffle (behind every groupby here) creates one
     map-output object per (input block × output partition); a read that
     keeps one block per file over hundreds of staged files makes that
     exchange quadratic in file count (measured: the 44 M-row combined
     dedup ran 723×723 ≈ 523k objects, 85 s at 8 CPUs; bounded to 16–128
-    blocks the same dedup is 25 s). Sizing: ~`target_mb` on-disk bytes
-    per block, floored at 2× cluster CPUs for read/map parallelism —
-    both ends scale with the deployment, not the file count."""
+    blocks the same dedup is 25 s). Sizing: ~`target_mb` UNCOMPRESSED
+    parquet data bytes per block (`parquet_data_nbytes` metric), floored
+    at 2× cluster CPUs for read/map parallelism — both ends scale with
+    the deployment, not the file count."""
     from .joins import default_join_partitions
 
     base = 2 * default_join_partitions(cap=None)
@@ -241,7 +269,7 @@ def scan_predicate(
     # exchange width follows input block count (see read_blocks_for_nbytes);
     # only override when the file count exceeds the bound (merging reads),
     # never split single files (None keeps Ray's default)
-    nblocks = read_blocks_for_nbytes(sum(os.path.getsize(p) for p in paths))
+    nblocks = read_blocks_for_nbytes(parquet_data_nbytes(paths))
     ds = ray.data.read_parquet(
         paths,
         columns=["subject", "predicate", "object"],
