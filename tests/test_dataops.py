@@ -551,3 +551,86 @@ def test_jpeg_through_media_stages(ray_session):
     resized = resize_media(ds, width=10, height=6, concurrency=1).to_pandas()
     assert resized["resized"].all()
     assert set(resized["mime"]) == {"image/x-portable-pixmap"}
+
+
+def test_avi_mjpeg_codec(ray_session):
+    """MJPEG-AVI container: frames round-trip byte-exact (stored
+    verbatim), header carries fps/dimensions, sniff detects it, and a
+    WAV RIFF is not mistaken for AVI."""
+    import pytest
+
+    from yago4_ray.dataops import codecs
+
+    video = codecs.synth_video(11, n_frames=5, fps=4)
+    assert codecs.sniff(video) == "avi"
+    frames, fps, w, h = codecs.decode_avi_mjpeg(video)
+    assert (len(frames), fps, w, h) == (5, 4, 48, 32)
+    # frame 0 is the unrolled seeded image, stored verbatim
+    assert frames[0] == codecs.encode_jpeg(codecs.synth_image(11), quality=85)
+    assert all(codecs.sniff(f) == "jpeg" for f in frames)
+    assert codecs.decode_jpeg(frames[3]).shape == (32, 48, 3)
+    # deterministic container encode
+    assert codecs.synth_video(11, n_frames=5, fps=4) == video
+    wav = codecs.encode_wav(codecs.synth_audio(1), 8000)
+    assert codecs.sniff(wav) == "wav"
+    with pytest.raises(ValueError):
+        codecs.decode_avi_mjpeg(wav)
+
+
+def test_video_frame_sample_and_decode(ray_session):
+    """Video rows through the full actor-pool chain: FrameSampler fans
+    each AVI out to per-frame JPEG image rows (1 per sampled ts), the
+    real decoder consumes both the sampled frames and the whole AVI, and
+    non-video rows pass through the sampler untouched."""
+    from yago4_ray.dataops import codecs
+    from yago4_ray.dataops.multimodal import (
+        decode_media,
+        media_table_from_refs,
+        resize_media,
+        sample_frames,
+    )
+
+    vids = media_table_from_refs(["v/a", "v/b"], kind="video", payload="real")
+    assert set(vids["mime"].to_pylist()) == {"video/x-msvideo"}
+    imgs = media_table_from_refs(["i/c"], kind="image", payload="real")
+    ds = ray.data.from_arrow([vids, imgs])
+
+    sampled = sample_frames(ds, every_ms=500, concurrency=1).to_pandas()
+    # 6 frames @4fps = 1500 ms → ts 0/500/1000 per video; image passes through
+    vrows = sampled[sampled["frame_ts_ms"] >= 0]
+    assert len(vrows) == 6 and (vrows["kind"] == "image").all()
+    assert sorted(vrows["frame_ts_ms"].unique()) == [0, 500, 1000]
+    passthru = sampled[sampled["frame_ts_ms"] < 0]
+    assert passthru["media_id"].tolist() == ["i/c"]
+
+    # sampled frames decode as ordinary JPEG image rows
+    frames_ds = ray.data.from_pandas(sampled.drop(columns=["frame_ts_ms"]))
+    out = decode_media(frames_ds, decoder="real", concurrency=1).to_pandas()
+    assert len(out) == 7
+    vout = out[out["media_id"].str.startswith("v/")]
+    assert (vout["width"] == 48).all() and (vout["height"] == 32).all()
+
+    # whole-AVI decode: duration + mean-pooled frame features match a
+    # hand computation over the same sampled frame set
+    whole = decode_media(
+        ray.data.from_arrow(vids), decoder="real", concurrency=1
+    ).to_pandas().set_index("media_id")
+    assert (whole["duration_ms"] == 1500).all()
+    from yago4_ray.dataops.multimodal import MediaDecoder, _ref_seed
+
+    dec = MediaDecoder(decoder="real")
+    payload = vids["payload"][0].as_py()
+    frames, fps, _, _ = codecs.decode_avi_mjpeg(payload)
+    import numpy as np
+
+    # the decoder samples on the default 1 s grid: ts 0 and 1000 → frames 0, 4
+    expect = np.mean(
+        [dec._image_features(codecs.decode_jpeg(frames[i])) for i in (0, 4)],
+        axis=0,
+    ).astype(np.float32)
+    got = np.array(whole.loc["v/a", "features"], dtype=np.float32)
+    assert np.allclose(got, expect)
+
+    # frame rows compose with resize (PPM re-encode)
+    rz = resize_media(frames_ds, width=8, height=8, concurrency=1).to_pandas()
+    assert rz[rz["media_id"].str.contains("#t")]["resized"].all()

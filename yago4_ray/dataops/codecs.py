@@ -275,6 +275,8 @@ def sniff(data: bytes) -> str:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
     return "unknown"
@@ -871,3 +873,116 @@ def _decode_scan(scan_bytes, comps, scan_sel, qtables, htables,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF 'AVI ' container, Motion-JPEG video; stdlib only)
+# ---------------------------------------------------------------------------
+# Writer: minimal single-stream AVI-1.0 — hdrl(avih + strl(strh/strf)),
+# movi with one '00dc' chunk per baseline-JPEG frame, idx1 index. Frame
+# payloads are the exact bytes produced by encode_jpeg, stored verbatim
+# (MJPEG is "a JPEG per frame"), so container round-trips are byte-exact
+# per frame. Reader: a plain RIFF chunk walk — no seeking heuristics, no
+# OpenDML extensions. This is the honest stdlib-only video path the
+# container allows: real parsing + real per-frame JPEG decode, while
+# inter-frame codecs (H.264 etc.) stay NotImplementedError.
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 4
+) -> bytes:
+    """Encoded-JPEG frame payloads → single-stream MJPEG AVI bytes."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    max_frame = max(len(f) for f in frames)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,        # dwMicroSecPerFrame
+        max_frame * fps,         # dwMaxBytesPerSec
+        0,                       # dwPaddingGranularity
+        0x10,                    # dwFlags: AVIF_HASINDEX
+        len(frames), 0, 1,       # dwTotalFrames, dwInitialFrames, dwStreams
+        max_frame,               # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,              # dwReserved[4]
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0,             # dwFlags, wPriority, wLanguage
+            0,                   # dwInitialFrames
+            1, fps,              # dwScale, dwRate (fps = rate/scale)
+            0, len(frames),      # dwStart, dwLength
+            max_frame,           # dwSuggestedBufferSize
+            0xFFFFFFFF, 0,       # dwQuality, dwSampleSize
+            0, 0, width, height, # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets point at the chunk TAG, relative to 'movi' tag start
+        idx_entries.append(struct.pack("<4sII I", b"00dc", 0x10, len(movi_body) - 4, len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[list[bytes], int, int, int]:
+    """MJPEG AVI bytes → (JPEG frame payloads, fps, width, height).
+
+    Walks RIFF chunks directly; only '00dc'/'00db' video chunks are
+    collected, so audio-bearing files degrade gracefully to video-only."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI stream")
+    usec_per_frame, width, height = 0, -1, -1
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal usec_per_frame, width, height
+        while pos + 8 <= end:
+            tag = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body0 = pos + 8
+            if tag == b"LIST":
+                walk(buf, body0 + 4, body0 + size)
+            elif tag == b"avih":
+                usec_per_frame = struct.unpack_from("<I", buf, body0)[0]
+                width, height = struct.unpack_from("<II", buf, body0 + 32)
+            elif tag in (b"00dc", b"00db") and size:
+                frames.append(buf[body0:body0 + size])
+            pos = body0 + size + (size % 2)
+
+    walk(data, 12, len(data))
+    fps = round(1_000_000 / usec_per_frame) if usec_per_frame else 1
+    return frames, max(fps, 1), width, height
+
+
+def synth_video(
+    seed: int, n_frames: int = 6, width: int = 48, height: int = 32,
+    fps: int = 4, quality: int = 85,
+) -> bytes:
+    """Deterministic MJPEG AVI: the seeded synth_image panned 4 px/frame
+    (temporal coherence, like a camera pass over a static scene)."""
+    base = synth_image(seed, width, height)
+    frames = [
+        encode_jpeg(np.roll(base, -4 * i, axis=1), quality=quality)
+        for i in range(n_frames)
+    ]
+    return encode_avi_mjpeg(frames, width, height, fps=fps)

@@ -5,10 +5,11 @@ Two decoder modes:
 
 - `decoder="real"` — actual codec work via the stdlib+numpy codecs in
   `yago4_ray.dataops.codecs` (PNG/BMP/PPM/baseline-JPEG images, PCM
-  WAV audio): decode, grid-pooled grayscale features for images,
-  segment-RMS features for audio, real width/height/duration. Formats
-  that require external libraries this container doesn't ship (MP3,
-  any video codec) raise `NotImplementedError` with a clear message.
+  WAV audio, MJPEG-AVI video): decode, grid-pooled grayscale features
+  for images, segment-RMS features for audio, frame-sampled mean
+  features for video, real width/height/duration. Formats that require
+  external libraries this container doesn't ship (MP3, inter-frame
+  video codecs) raise `NotImplementedError` with a clear message.
 - `decoder="fake"` — deterministic bytes-derived features with no
   decode, for plumbing tests and unknown payloads.
 
@@ -70,6 +71,9 @@ def media_table_from_refs(
                 codecs.encode_wav(codecs.synth_audio(_ref_seed(r), rate=8000), 8000)
             )
             mimes.append("audio/wav")
+        elif payload == "real" and kind == "video":
+            payloads.append(codecs.synth_video(_ref_seed(r)))
+            mimes.append("video/x-msvideo")
         else:
             h = hashlib.blake2b(r.encode(), digest_size=32).digest()
             payloads.append(h * 8)  # 256-byte fake payload
@@ -150,11 +154,32 @@ class MediaDecoder:
         elif fmt == "wav":
             x, rate = codecs.decode_wav(payload)
             return self._audio_features(x), -1, -1, int(len(x) * 1000 / rate)
+        elif fmt == "avi":
+            # MJPEG video: sample frames on the 1 s grid (frame_sample_plan),
+            # decode each sampled JPEG, mean-pool the per-frame grid features
+            frames, fps, w, h = codecs.decode_avi_mjpeg(payload)
+            duration_ms = int(len(frames) * 1000 / fps)
+            idxs = sorted(
+                {
+                    min(ts * fps // 1000, len(frames) - 1)
+                    for ts in frame_sample_plan(duration_ms)
+                }
+            )
+            feats = [
+                self._image_features(codecs.decode_jpeg(frames[i])) for i in idxs
+            ]
+            return (
+                np.mean(feats, axis=0).astype(np.float32),
+                w,
+                h,
+                duration_ms,
+            )
         else:
             raise NotImplementedError(
-                "real decode supports PNG/BMP/PPM/JPEG/WAV (stdlib+numpy "
-                "codecs); MP3/video need external libraries not in this "
-                "container — use decoder='fake' for opaque payloads"
+                "real decode supports PNG/BMP/PPM/JPEG images, WAV audio and "
+                "MJPEG-AVI video (stdlib+numpy codecs); MP3 / inter-frame "
+                "video codecs need external libraries not in this container "
+                "— use decoder='fake' for opaque payloads"
             )
         h, w = px.shape[:2]
         return self._image_features(px), w, h, -1
@@ -208,11 +233,91 @@ def decode_media(
 
 
 def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:
-    """Deterministic frame-sampling timestamps for video rows (plumbing
-    for the stubbed video path)."""
+    """Deterministic frame-sampling timestamps for video rows (shared by
+    MediaDecoder's AVI branch and FrameSampler)."""
     if duration_ms <= 0:
         return [0]
     return list(range(0, duration_ms, every_ms))
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: video rows fan out to one IMAGE
+    row per sampled frame (`media_id#t<ms>`, payload = that frame's JPEG
+    bytes, verbatim from the container), so the output composes directly
+    with MediaResizer / MediaDecoder. Non-video rows and undecodable
+    video payloads pass through unchanged with frame_ts_ms = -1."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, payloads, mimes = [], [], [], []
+        widths, heights, durations, ts_out = [], [], [], []
+
+        def passthrough(i: int) -> None:
+            ids.append(batch["media_id"][i].as_py())
+            kinds.append(batch["kind"][i].as_py())
+            payloads.append(batch["payload"][i].as_py())
+            mimes.append(batch["mime"][i].as_py())
+            widths.append(batch["width"][i].as_py())
+            heights.append(batch["height"][i].as_py())
+            durations.append(batch["duration_ms"][i].as_py())
+            ts_out.append(-1)
+
+        for i in range(batch.num_rows):
+            payload = batch["payload"][i].as_py()
+            if (
+                batch["kind"][i].as_py() != "video"
+                or codecs.sniff(payload) != "avi"
+            ):
+                passthrough(i)
+                continue
+            frames, fps, w, h = codecs.decode_avi_mjpeg(payload)
+            duration_ms = int(len(frames) * 1000 / fps)
+            mid = batch["media_id"][i].as_py()
+            seen: set[int] = set()
+            for ts in frame_sample_plan(duration_ms, self.every_ms):
+                fi = min(ts * fps // 1000, len(frames) - 1)
+                if fi in seen:
+                    continue
+                seen.add(fi)
+                ids.append(f"{mid}#t{ts}")
+                kinds.append("image")
+                payloads.append(frames[fi])
+                mimes.append("image/jpeg")
+                widths.append(w)
+                heights.append(h)
+                durations.append(-1)
+                ts_out.append(ts)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(mimes, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "duration_ms": pa.array(durations, pa.int32()),
+                "frame_ts_ms": pa.array(ts_out, pa.int32()),
+            }
+        )
+
+
+def sample_frames(
+    ds: Dataset,
+    every_ms: int = 1000,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 32,
+) -> Dataset:
+    """Video rows → per-sampled-frame image rows (+ passthrough others);
+    feeds resize_media / decode_media directly."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_args=(every_ms,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def resize_pixels(px: np.ndarray, width: int, height: int) -> np.ndarray:

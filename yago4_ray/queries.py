@@ -1114,6 +1114,37 @@ def media_resize_decode(sf_dir: str):
     return decode_media(resized, decoder="real").drop_columns(["features"])
 
 
+def media_video_frames(sf_dir: str):
+    """Video frame-sample → decode chain: corpus media refs → seeded
+    MJPEG-AVI payloads (real RIFF container, one baseline JPEG per
+    frame) → FrameSampler fans each video out to one image row per
+    1 s-grid frame → real JPEG decode with grid-pool features. Output is
+    per-frame (media_id#t<ms>), deterministic: 3 sampled frames per ref."""
+    from .dataops.multimodal import (
+        decode_media,
+        media_table_from_refs,
+        sample_frames,
+    )
+    from .extract import extract_statements
+    import pyarrow.parquet as pq
+
+    corpus_dir, _, _ = kg_context(sf_dir)
+    docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+    dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
+    _, media = extract_statements(docs, dictionary, concurrency=2)
+    from .joins import distinct_rows
+
+    refs = distinct_rows(media.select_columns(["media_ref"]), ["media_ref"])
+    video_rows = refs.map_batches(
+        lambda t: media_table_from_refs(
+            sorted(t["media_ref"].to_pylist()), kind="video", payload="real"
+        ),
+        batch_format="pyarrow",
+    )
+    frames = sample_frames(video_rows, every_ms=500)
+    return decode_media(frames, decoder="real").drop_columns(["features"])
+
+
 QUERIES = {
     "q1_lineitem_agg": q1_lineitem_agg,
     "q2_orders_by_status": q2_orders_by_status,
@@ -1149,4 +1180,5 @@ QUERIES = {
     "dedup_ngram_exact_pairs": dedup_ngram_exact_pairs,
     "media_decode_features": media_decode_features,
     "media_resize_decode": media_resize_decode,
+    "media_video_frames": media_video_frames,
 }
