@@ -332,7 +332,15 @@ def minhash_dedup(
             flush=True,
         )
     pairs_nbytes, pairs_nblocks = pairs.size_bytes(), pairs.num_blocks()
-    pairs = pairs.drop_columns(["oversized"])
+    # pairs arrive as PANDAS blocks (partitioned_group_apply's map_groups);
+    # entering the repartition/join exchanges that way re-attaches pandas
+    # schema metadata at Ray's block conversion, whose dict makes the
+    # schema unhashable and defeats the shuffle's schema dedup — convert
+    # to Arrow and strip here, once, while the pair set is tiny
+    pairs = pairs.drop_columns(["oversized"]).map_batches(
+        lambda t: t.replace_schema_metadata(None) if t.schema.metadata else t,
+        batch_format="pyarrow",
+    )
     ids_ref = ray.put(cand_ids)
 
     def cand_shingles(b: pd.DataFrame) -> pa.Table:

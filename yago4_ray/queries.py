@@ -35,8 +35,19 @@ def _strip_meta(batch):
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    # pass the file schema minus its pandas footer metadata explicitly:
+    # a schema whose metadata holds a dict is UNHASHABLE, which defeats
+    # Ray's schema dedup inside the read tasks themselves (one schema
+    # copy per block before _strip_meta can run)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        # Ray applies the given schema to the column-projected batches
+        schema = pa.schema([schema.field(c) for c in columns])
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        path, columns=columns, schema=schema
     ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
