@@ -119,6 +119,17 @@ def test_minhash_clusters_equal_exact_ground_truth(ray_session):
     got = sorted(zip(got_df["doc_id"].astype(int), got_df["cluster"].astype(int)))
     assert got == want
 
+    # the distributed join-based verify (taken when the candidate set
+    # exceeds the broadcast cap) must produce the identical clustering —
+    # force it by zeroing the cap
+    join_df = minhash_dedup(
+        ds, "text", "doc_id", threshold=0.8, broadcast_verify_cap=0
+    ).to_pandas()
+    joined = sorted(
+        zip(join_df["doc_id"].astype(int), join_df["cluster"].astype(int))
+    )
+    assert joined == want
+
 
 def test_simhash_pairs_equal_bruteforce(ray_session):
     """The 4x16-band SimHash LSH has a pigeonhole guarantee: any pair at

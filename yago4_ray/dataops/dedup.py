@@ -295,17 +295,21 @@ def minhash_dedup(
     **kwargs,
 ) -> Dataset:
     """Full near-dup pipeline → (id, cluster) rows for docs in clusters.
-    Candidate pairs are verified with true n-gram Jaccard by JOINING the
-    pairs to a (id, shingles) dataset on `a` then on `b` — no candidate
-    text or shingle ever reaches the driver (`.to_pandas()`/`ray.put`
-    of per-doc state is gone); only the VERIFIED pair rows (near-dup
-    edges, tiny relative to the corpus) are collected for the final
-    min-label clustering."""
+    Candidate pairs are verified with true n-gram Jaccard against a
+    distributed (id, shingles) dataset. Verify strategy is VOLUME-GATED:
+    candidate sets under a 32 MB cap ship as one broadcast object
+    (bounded by the cap — a constant, never dup-rate × corpus — and it
+    skips two sort shuffles' fixed floors); larger sets take the
+    co-partitioned pairs⨝shingles joins on `a` then `b`, where no
+    candidate text or shingle ever transits the driver. Only the
+    VERIFIED pair rows (near-dup edges, tiny relative to the corpus)
+    are collected for the final min-label clustering."""
     import ray
 
     from ..joins import copartition_join, get_broadcast
 
     k = kwargs.get("shingle_k", 5)
+    broadcast_cap = kwargs.pop("broadcast_verify_cap", 32 << 20)
     pairs = minhash_lsh_pairs(
         ds, text_col, id_col, keep_bucket_stats=True, **kwargs
     ).materialize()
@@ -372,45 +376,11 @@ def minhash_dedup(
         )
 
     sh_ds = ds.map_batches(cand_shingles, batch_format="pandas").materialize()
-    # bound the blocks FEEDING the join shuffles: the corpus scan leaves
-    # one (near-empty) block per input block, and sort-shuffle cost is
-    # input blocks × output partitions (measured 10.4 s → 2.8 s at 64
-    # blocks/459 pairs). Volume-sized, so a huge candidate set still
-    # gets many blocks; the repartition is a no-sort block coalesce that
-    # executes inside the join run.
-    from ..sources import read_blocks_for_nbytes
 
-    n_blocks = read_blocks_for_nbytes(sh_ds.size_bytes() + pairs_nbytes)
-    n_parts = max(4, n_blocks)
-    if sh_ds.num_blocks() > n_blocks:
-        sh_ds = sh_ds.repartition(n_blocks)
-    if pairs_nblocks > n_blocks:
-        pairs = pairs.repartition(n_blocks)
-    sh_a = sh_ds.map_batches(
-        lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow"
-    )
-    sh_b = sh_ds.map_batches(
-        lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow"
-    )
-    # pad types from the materialized schemas (ids may be int64 or
-    # string depending on the corpus; shingle payloads are binary)
-    id_type = sh_ds.schema().base_schema.field("id").type
-    sh_type = sh_ds.schema().base_schema.field("sh").type
-    jtypes = {
-        "a": id_type, "b": id_type, "sh_a": sh_type, "sh_b": sh_type
-    }
-    with_a = copartition_join(
-        pairs, sh_a, "a", ["a", "b"], ["a", "sh_a"], num_parts=n_parts,
-        col_types=jtypes,
-    )
-    with_both = copartition_join(
-        with_a, sh_b, "b", ["a", "b", "sh_a"], ["b", "sh_b"],
-        num_parts=n_parts, col_types=jtypes,
-    )
-
-    def verify(batch: pd.DataFrame) -> pa.Table:
-        keep = np.zeros(len(batch), bool)
-        for i, (sa_raw, sb_raw) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
+    def _pair_keep(sh_as, sh_bs) -> np.ndarray:
+        """Exact-Jaccard keep mask for aligned shingle-payload sequences."""
+        keep = np.zeros(len(sh_as), bool)
+        for i, (sa_raw, sb_raw) in enumerate(zip(sh_as, sh_bs)):
             sa = np.frombuffer(sa_raw or b"", dtype=np.uint64)
             sb = np.frombuffer(sb_raw or b"", dtype=np.uint64)
             union = len(sa) + len(sb)
@@ -419,12 +389,83 @@ def minhash_dedup(
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             keep[i] = inter / (union - inter) >= threshold
-        out = pa.Table.from_pandas(
-            batch[keep][["a", "b"]], preserve_index=False
-        )
+        return keep
+
+    def _clean(out: pa.Table) -> pa.Table:
         return out.replace_schema_metadata(None) if out.schema.metadata else out
 
-    verified = with_both.map_batches(verify, batch_format="pandas").to_pandas()
+    # Volume-gated verify: below the cap the whole candidate shingle set
+    # is ONE bounded broadcast object (constant driver/worker memory by
+    # construction — NOT proportional to dup-rate × corpus) and the two
+    # join shuffles' fixed floors are skipped; above it, the shingles
+    # stay distributed and the pairs⨝shingles co-partitioned joins run.
+    # Same verify kernel either way.
+    if sh_ds.size_bytes() + pairs_nbytes <= broadcast_cap:
+        sh_tbl = pa.concat_tables(ray.get(sh_ds.to_arrow_refs()))
+        sh_ref = ray.put(
+            dict(zip(sh_tbl["id"].to_pylist(), sh_tbl["sh"].to_pylist()))
+        )
+
+        def verify_broadcast(batch: pd.DataFrame) -> pa.Table:
+            m = get_broadcast(sh_ref)
+            keep = _pair_keep(
+                [m.get(a) for a in batch["a"]], [m.get(b) for b in batch["b"]]
+            )
+            return _clean(
+                pa.Table.from_pandas(batch[keep], preserve_index=False)
+            )
+
+        verified = pairs.map_batches(
+            verify_broadcast, batch_format="pandas"
+        ).to_pandas()
+    else:
+        # bound the blocks FEEDING the join shuffles: the corpus scan
+        # leaves one (near-empty) block per input block, and sort-shuffle
+        # cost is input blocks × output partitions (measured 10.4 s →
+        # 2.8 s at 64 blocks/459 pairs). Volume-sized, so a huge
+        # candidate set still gets many blocks; the repartition is a
+        # no-sort block coalesce that executes inside the join run.
+        from ..sources import read_blocks_for_nbytes
+
+        n_blocks = read_blocks_for_nbytes(sh_ds.size_bytes() + pairs_nbytes)
+        n_parts = max(4, n_blocks)
+        if sh_ds.num_blocks() > n_blocks:
+            sh_ds = sh_ds.repartition(n_blocks)
+        if pairs_nblocks > n_blocks:
+            pairs = pairs.repartition(n_blocks)
+        sh_a = sh_ds.map_batches(
+            lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow"
+        )
+        sh_b = sh_ds.map_batches(
+            lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow"
+        )
+        # pad types from the materialized schemas (ids may be int64 or
+        # string depending on the corpus; shingle payloads are binary)
+        id_type = sh_ds.schema().base_schema.field("id").type
+        sh_type = sh_ds.schema().base_schema.field("sh").type
+        jtypes = {
+            "a": id_type, "b": id_type, "sh_a": sh_type, "sh_b": sh_type
+        }
+        with_a = copartition_join(
+            pairs, sh_a, "a", ["a", "b"], ["a", "sh_a"], num_parts=n_parts,
+            col_types=jtypes,
+        )
+        with_both = copartition_join(
+            with_a, sh_b, "b", ["a", "b", "sh_a"], ["b", "sh_b"],
+            num_parts=n_parts, col_types=jtypes,
+        )
+
+        def verify_joined(batch: pd.DataFrame) -> pa.Table:
+            keep = _pair_keep(batch["sh_a"], batch["sh_b"])
+            return _clean(
+                pa.Table.from_pandas(
+                    batch[keep][["a", "b"]], preserve_index=False
+                )
+            )
+
+        verified = with_both.map_batches(
+            verify_joined, batch_format="pandas"
+        ).to_pandas()
     if "a" not in verified.columns:  # all-empty blocks carry no schema
         verified = pd.DataFrame({"a": [], "b": []})
     # min-label propagation on the driver: candidate graph is tiny
