@@ -107,7 +107,9 @@ def default_join_partitions(cap: int | None = 8) -> int:
     return min(n, cap) if cap else n
 
 
-def partitions_for_nbytes(nbytes: int, target_mb: int = 96, cap: int = 512) -> int:
+def partitions_for_nbytes(
+    nbytes: int, target_mb: int = 96, cap: int = 512, min_mb: int = 8
+) -> int:
     """Partition count sized to DATA VOLUME with a cluster floor.
 
     The fixed CPU-derived default is right for small inputs (aggregator
@@ -119,8 +121,16 @@ def partitions_for_nbytes(nbytes: int, target_mb: int = 96, cap: int = 512) -> i
     bytes (`sources.parquet_data_nbytes` — codec-invariant; on-disk
     bytes swing 10–25× with codec and sort order); Arrow heap is
     ~2–2.5× that, so the 96 MB target bounds a partition at ~200–240 MB
-    in a worker's heap."""
-    base = default_join_partitions(cap=None)
+    in a worker's heap. The cluster floor is itself capped so no
+    partition falls under `min_mb`: an unconditional CPU-derived floor
+    makes tiny-volume shuffles pay (blocks × partitions) exchange
+    objects proportional to the SESSION size (see
+    sources.read_blocks_for_nbytes for the measured sf0.1/32-CPU 2×
+    kg_build regression this caused)."""
+    base = min(
+        default_join_partitions(cap=None),
+        int(nbytes // (min_mb << 20)) + 1,
+    )
     by_size = int(nbytes // (target_mb << 20)) + 1
     return max(base, min(by_size, cap))
 

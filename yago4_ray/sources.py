@@ -220,7 +220,9 @@ def store_num_rows(root: str, predicates: list[str] | None = None) -> int:
     return total
 
 
-def read_blocks_for_nbytes(nbytes: int, target_mb: int = 64, cap: int = 2048) -> int:
+def read_blocks_for_nbytes(
+    nbytes: int, target_mb: int = 64, cap: int = 2048, min_mb: int = 4
+) -> int:
     """Read block count for a many-small-file parquet read that FEEDS A
     SHUFFLE. Ray's sort shuffle (behind every groupby here) creates one
     map-output object per (input block × output partition); a read that
@@ -228,12 +230,21 @@ def read_blocks_for_nbytes(nbytes: int, target_mb: int = 64, cap: int = 2048) ->
     exchange quadratic in file count (measured: the 44 M-row combined
     dedup ran 723×723 ≈ 523k objects, 85 s at 8 CPUs; bounded to 16–128
     blocks the same dedup is 25 s). Sizing: ~`target_mb` UNCOMPRESSED
-    parquet data bytes per block (`parquet_data_nbytes` metric), floored
-    at 2× cluster CPUs for read/map parallelism — both ends scale with
-    the deployment, not the file count."""
+    parquet data bytes per block (`parquet_data_nbytes` metric), with a
+    2×-cluster-CPU parallelism floor that is ITSELF capped so no block
+    falls under `min_mb` — an unconditional CPU floor makes tiny-volume
+    shuffles scale their exchange width with the SESSION, not the data
+    (measured: sf0.1 kg_build at 32 CPUs ran 2× slower than at 8 — 64
+    blocks × 32 partitions of kilobyte objects per job — and dropped
+    from 24–33 s to ~15 s with the volume-capped floor, while 8-CPU
+    times and large-volume runs, where by_size dominates, are
+    unchanged)."""
     from .joins import default_join_partitions
 
-    base = 2 * default_join_partitions(cap=None)
+    base = min(
+        2 * default_join_partitions(cap=None),
+        int(nbytes // (min_mb << 20)) + 1,
+    )
     by_size = int(nbytes // (target_mb << 20)) + 1
     return max(base, min(by_size, cap))
 
