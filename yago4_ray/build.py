@@ -1737,12 +1737,12 @@ def generate_yago(
             # sources.read_blocks_for_nbytes)
             from .sources import read_blocks_for_nbytes
 
+            # ALWAYS override: None lets Ray's avail_cpus×2 parallelism
+            # floor split small staged files into ~2×CPU kilobyte blocks
+            # through this very shuffle (PERF_NOTES #29)
             n_read_blocks = read_blocks_for_nbytes(staged_bytes)
             staged_read = ray.data.read_parquet(
-                staged_files,
-                override_num_blocks=(
-                    n_read_blocks if len(staged_files) > n_read_blocks else None
-                ),
+                staged_files, override_num_blocks=n_read_blocks
             )
             combined_in = (
                 staged_read

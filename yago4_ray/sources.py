@@ -277,14 +277,16 @@ def scan_predicate(
             )
         )
     # bound block count: these scans feed groupby/join shuffles whose
-    # exchange width follows input block count (see read_blocks_for_nbytes);
-    # only override when the file count exceeds the bound (merging reads),
-    # never split single files (None keeps Ray's default)
+    # exchange width follows input block count (see read_blocks_for_nbytes).
+    # ALWAYS override: None lets Ray's own avail_cpus×2 parallelism floor
+    # split small files into ~2×CPU kilobyte blocks (PERF_NOTES #29);
+    # with the volume-capped count, few-files reads split to a
+    # volume-appropriate width and many-files reads merge.
     nblocks = read_blocks_for_nbytes(parquet_data_nbytes(paths))
     ds = ray.data.read_parquet(
         paths,
         columns=["subject", "predicate", "object"],
-        override_num_blocks=nblocks if len(paths) > nblocks else None,
+        override_num_blocks=nblocks,
     )
     pred_set = set(preds)
     ds = ds.map_batches(
