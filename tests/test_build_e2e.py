@@ -92,3 +92,22 @@ def test_written_outputs_match_oracle(
             got = {t if len(t) == 5 else (*t, "", "") for t in got}
             want = {t if len(t) == 5 else (*t, "", "") for t in want}
         assert got == want, f"{name}: {len(got)} written vs {len(want)} oracle"
+
+
+def test_annotation_join_path_matches_stitch(
+    build_outputs, statements_root, monkeypatch
+):
+    """The volume-gated annotation stitch (broadcast path, used by
+    build_outputs under the default cap) and the co-partitioned join
+    path (forced via cap=0) must produce the identical annotated-facts
+    set — the same both-paths identity gate the minhash verify has."""
+    monkeypatch.setenv("YAGO4_RAY_ANN_BROADCAST_CAP", "0")
+    from yago4_ray.build import generate_yago
+
+    outputs = generate_yago(statements_root, write=False)
+    df = outputs["annotated-facts"].to_pandas()
+    got = set(
+        zip(df["subject"], df["predicate"], df["object"],
+            df["annotation_predicate"], df["annotation_object"])
+    )
+    assert got == build_outputs["annotated-facts"]

@@ -709,18 +709,67 @@ def build_facts(
             )[["statement", "ann_pred", "ann_obj", "ann_extras"]]
 
         annotations = ann_objects.map_batches(ann_rows, batch_format="pandas")
-        kept = joined.map_batches(
-            lambda b: b[["statement", "cfg", "subject", "object"]],
-            batch_format="pandas",
+
+        # Volume-gated stitch (same discipline as the minhash verify):
+        # annotations are a small fraction of the statements (qualifier
+        # predicates), yet the join path must shuffle the ENTIRE
+        # materialized facts join to meet them — measured as a second
+        # wide job running as long as the combined dedup it competes
+        # with. Under the cap (uncompressed pq:/pqv: partition footer
+        # bytes, an upper bound on the cleaned annotation rows), collect
+        # the annotations ONCE, broadcast, and stitch inside a narrow
+        # map over `joined` — zero extra exchanges. Above the cap (or in
+        # distributed mode, where state never transits the driver), the
+        # co-partitioned join stands.
+        import os
+
+        from .broadcast import HashedSet
+        from .sources import store_nbytes
+
+        ann_preds = []
+        for cfg in ann_configs:
+            prefix = T.PQV_PREFIX if cfg.complex_value else T.PQ_PREFIX
+            for pid in cfg.pids:
+                ann_preds.append(T.iri(f"{prefix}{pid}"))
+        ann_cap = int(
+            os.environ.get("YAGO4_RAY_ANN_BROADCAST_CAP", str(64 << 20))
         )
-        ann_joined = copartition_join(
-            kept,
-            annotations,
-            on="statement",
-            left_cols=["statement", "cfg", "subject", "object"],
-            right_cols=["statement", "ann_pred", "ann_obj", "ann_extras"],
-            num_parts=num_partitions,
-        )
+        ann_src_bytes = store_nbytes(root, ann_preds)
+        if not state.distributed and ann_src_bytes <= ann_cap:
+            ann_df = annotations.to_pandas()  # bounded by the gate
+            ann_ref = ray.put((HashedSet(ann_df["statement"]), ann_df))
+
+            def stitch(batch: pd.DataFrame) -> pd.DataFrame:
+                stmt_set, ann_local = get_broadcast(ann_ref)
+                # hashed membership pre-filter (false positives are
+                # resolved by the exact merge below)
+                keep = stmt_set.contains(batch["statement"])
+                cols = ["statement", "cfg", "subject", "object"]
+                if not keep.any():
+                    empty = {
+                        c: pd.Series([], dtype=object)
+                        for c in cols
+                        + ["ann_pred", "ann_obj", "ann_extras"]
+                    }
+                    return pd.DataFrame(empty)
+                return batch.loc[keep, cols].merge(
+                    ann_local, on="statement", how="inner"
+                )
+
+            ann_joined = joined.map_batches(stitch, batch_format="pandas")
+        else:
+            kept = joined.map_batches(
+                lambda b: b[["statement", "cfg", "subject", "object"]],
+                batch_format="pandas",
+            )
+            ann_joined = copartition_join(
+                kept,
+                annotations,
+                on="statement",
+                left_cols=["statement", "cfg", "subject", "object"],
+                right_cols=["statement", "ann_pred", "ann_obj", "ann_extras"],
+                num_parts=num_partitions,
+            )
 
         def to_annotated(batch: pd.DataFrame) -> pd.DataFrame:
             # vectorized like to_triples: base rows project straight from
