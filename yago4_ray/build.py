@@ -238,6 +238,47 @@ def build_clean_hmms_from_ref(root: str, uri_ref, stats: Stats) -> dict:
     )
 
 
+@ray.remote(num_returns=2)
+def _pack_clean_hmms(*blocks):
+    """Worker-side form of _clean_hmms_from_ds: concat the hashed Arrow
+    blocks and build the per-family HashedMultiMaps OFF the driver, so
+    the broadcast object goes worker → object store with no driver
+    concat, build, or ray.put serialize (measured 3.7 s of idle-cluster
+    driver wait at 22 M statements). Returns (hmm_dict, counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .broadcast import HashedMultiMap
+
+    tbl = pa.concat_tables(
+        list(blocks), promote_options="permissive"
+    ).combine_chunks()
+    out: dict[str, "HashedMultiMap"] = {}
+    counts: dict[str, int] = {}
+    for name in ("time", "coordinates", "duration", "integer", "quantity"):
+        fam = tbl.filter(pc.equal(tbl["family"], name))
+        out[name] = HashedMultiMap.from_arrow(
+            fam["value_node"], fam["object"], fam["extras"], hashes=fam["h"]
+        )
+        counts[name] = len(out[name])
+    return out, counts
+
+
+def clean_hmm_refs(root: str, uri_ref) -> tuple:
+    """Run the clean-value scan, then hand its Arrow block refs to a
+    remote packing task. Returns (hmm_ref, counts_ref) the moment the
+    scan resolves — the pack itself overlaps whatever Dataset job runs
+    next (the facts join), and build_facts can assemble its broadcast
+    refs without waiting for (or ever holding) the multimaps."""
+    from .broadcast import _hash_series
+
+    hashed = C.build_value_maps(root, scan_predicate, uri_ref).map_batches(
+        lambda b: b.assign(h=_hash_series(b["value_node"])),
+        batch_format="pandas",
+    )
+    return _pack_clean_hmms.remote(*hashed.to_arrow_refs())
+
+
 def _clean_hmms_from_ds(ds: Dataset, stats: Stats) -> dict:
     """HashedMultiMaps per clean family, built from Arrow blocks with
     worker-computed key hashes — the value-node/object/extras strings
@@ -587,6 +628,7 @@ def build_facts(
             continue
         ann_configs.append(cfg)
 
+    clean_counts_ref = None
     if state.distributed:
         # the 10^12-doc path: every broadcast below becomes a hash join
         # against the state Datasets (build_dist module docstring)
@@ -610,20 +652,27 @@ def build_facts(
 
         pre = state.prewarmed or {}
         with _cf.ThreadPoolExecutor(max_workers=4) as _pool:
-            f_clean = pre.get("clean_maps") or _pool.submit(
-                build_clean_hmms, root, state, state.stats
-            )
+            if "clean_maps_ref" in pre:
+                # remote-packed: (hmm_ref, counts_ref) resolve as soon
+                # as the scan does; the pack overlaps the facts join
+                f_clean = None
+            else:
+                f_clean = pre.get("clean_maps") or _pool.submit(
+                    build_clean_hmms, root, state, state.stats
+                )
             f_rank = pre.get("best_rank") or _pool.submit(
                 best_rank_hashed_set, root
             )
             f_uri = _pool.submit(state.packed_ref, "uri_mapping")
             f_si = _pool.submit(state.packed_ref, "shape_instances")
-            refs = {
-                "uri_mapping": f_uri.result(),
-                "shape_instances": f_si.result(),
-                "best_rank": ray.put(f_rank.result()),
-                "clean_maps": ray.put(f_clean.result()),
-            }
+            refs = {"uri_mapping": f_uri.result()}
+            refs["shape_instances"] = f_si.result()
+            refs["best_rank"] = ray.put(f_rank.result())
+            if f_clean is not None:
+                refs["clean_maps"] = ray.put(f_clean.result())
+            else:
+                hmm_ref, clean_counts_ref = pre["clean_maps_ref"].result()
+                refs["clean_maps"] = hmm_ref
         _mark_timing("build_facts", "broadcast-state (clean+rank+uri+si)")
 
         subjects = _subject_side(root, configs, refs)
@@ -647,6 +696,11 @@ def build_facts(
     # and the stats — avoids recomputing the whole pipeline 3×
     joined = joined.materialize()
     _mark_timing("build_facts", "facts-join-materialize")
+    if refs is not None and clean_counts_ref is not None:
+        # the remote pack finished long before the join it overlapped;
+        # fold its per-family sizes into stats with zero added wait
+        for name, n in ray.get(clean_counts_ref).items():
+            state.stats.set_local("Cleaned complex type", name, n)
 
     cfg_path = {c.cfg_id: c.path for c in configs}
     path_ref = ray.put(cfg_path)

@@ -405,6 +405,56 @@ def merge_uri_candidates_sharded(
     return pa.concat_tables(outs).combine_chunks()
 
 
+@ray.remote(num_returns=2, num_cpus=4)
+def _merge_pack_uri(schema_tbl, mandatory_tbl, *blocks):
+    """Worker-side URI priority merge + HashedMap pack over the fused
+    input-reduction blocks. Returning (HashedMap, (item, uri) table)
+    straight from a task means the broadcast ObjectRef EXISTS the moment
+    the scan resolves — the clean-value scan (whose tasks only ray.get
+    the ref lazily) can be planned and launched ~2.5 s before the merge
+    finishes, and the packed map goes worker → object store with no
+    driver ray.put serialize. Same kernels as the driver path
+    (merge_uri_candidates_sharded → HashedMap.from_arrow), bit-identical
+    output; num_cpus=4 leaves room for the concurrent clean scan on an
+    8-CPU session while still feeding the 8 shard threads."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .broadcast import HashedMap
+
+    tbl = pa.concat_tables(list(blocks), promote_options="permissive")
+    kind_col = tbl.column("kind")
+
+    def part_p(k: int, p: int) -> pa.Table:
+        t = tbl.filter(pc.equal(kind_col, k))
+        return pa.table(
+            {
+                "item": t["item"],
+                "priority": pa.array(
+                    np.full(t.num_rows, p, dtype=np.int64), pa.int64()
+                ),
+                "uri": t["uri"],
+                "h": t["h"],
+            }
+        )
+
+    cand = pa.concat_tables(
+        [
+            schema_tbl,
+            part_p(_K_WIKI, 1),
+            part_p(_K_LABEL, 2),
+            part_p(_K_MARKER, 99),
+            mandatory_tbl,
+        ],
+        promote_options="permissive",
+    )
+    out_tbl = merge_uri_candidates_sharded(cand)
+    mapping = HashedMap.from_arrow(
+        out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
+    )
+    return mapping, out_tbl.select(["item", "uri"])
+
+
 def merge_uri_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
     """pandas adapter over merge_uri_candidates_arrow (used by the
     distributed groupby(item) strategy, whose parts arrive as pandas)."""
@@ -618,6 +668,7 @@ def collect_input_reductions(
     schema: Schema,
     stats: Stats,
     size: str = "full",
+    on_uri_ref=None,
 ):
     """Every driver-scale input reduction in ONE store scan: URI-mapping
     candidates (markers + wiki + label), enwiki sitelink pairs, P279
@@ -754,9 +805,44 @@ def collect_input_reductions(
             _t0 = now
 
     rows = scan_predicate(root, preds).map_batches(route, batch_format="pandas")
-    tbl = pa.concat_tables(
-        ray.get(rows.to_arrow_refs()), promote_options="permissive"
+    block_refs = rows.to_arrow_refs()
+
+    # URI candidate prep the remote merge can't derive from the blocks
+    # (driver-side, tiny)
+    from_schema: dict[str, str] = {}
+    for shape in schema.node_shapes():
+        for from_class in shape.from_classes:
+            from_schema[from_class] = shape.target_class
+    schema_tbl = pa.table(
+        {
+            "item": pa.array(list(from_schema), pa.string()),
+            "priority": pa.array([0] * len(from_schema), pa.int64()),
+            "uri": pa.array(list(from_schema.values()), pa.string()),
+            "h": pa.array(
+                _hash_series(list(from_schema)) if from_schema else _zero_h,
+                pa.uint64(),
+            ),
+        }
     )
+    mandatory = sorted(T.MANDATORY_WD_ITEMS)
+    mandatory_tbl = pa.table(
+        {
+            "item": pa.array(mandatory, pa.string()),
+            "priority": pa.array([99] * len(mandatory), pa.int64()),
+            "uri": pa.array([""] * len(mandatory), pa.string()),
+            "h": pa.array(_hash_series(mandatory), pa.uint64()),
+        }
+    )
+    # the merge + HashedMap pack runs in a TASK over the scan blocks:
+    # uri_packed exists NOW, so the caller can launch the clean-value
+    # scan (its tasks get the ref lazily) while the merge still runs
+    uri_packed, uri_tbl_ref = _merge_pack_uri.remote(
+        schema_tbl, mandatory_tbl, *block_refs
+    )
+    if on_uri_ref is not None:
+        on_uri_ref(uri_packed)
+
+    tbl = pa.concat_tables(ray.get(block_refs), promote_options="permissive")
     _mark("scan+collect")
     kind_col = tbl.column("kind")
 
@@ -807,67 +893,18 @@ def collect_input_reductions(
     f_p279 = _side_pool.submit(_p279)
     f_counts = _side_pool.submit(_counts)
 
-    # --- URI mapping: the 4-source priority merge (plan.rs:227-382) ---
-    from_schema: dict[str, str] = {}
-    for shape in schema.node_shapes():
-        for from_class in shape.from_classes:
-            from_schema[from_class] = shape.target_class
-    schema_tbl = pa.table(
-        {
-            "item": pa.array(list(from_schema), pa.string()),
-            "priority": pa.array([0] * len(from_schema), pa.int64()),
-            "uri": pa.array(list(from_schema.values()), pa.string()),
-            "h": pa.array(
-                _hash_series(list(from_schema)) if from_schema else _zero_h,
-                pa.uint64(),
-            ),
-        }
-    )
-    mandatory = sorted(T.MANDATORY_WD_ITEMS)
-    mandatory_tbl = pa.table(
-        {
-            "item": pa.array(mandatory, pa.string()),
-            "priority": pa.array([99] * len(mandatory), pa.int64()),
-            "uri": pa.array([""] * len(mandatory), pa.string()),
-            "h": pa.array(_hash_series(mandatory), pa.uint64()),
-        }
-    )
-
-    def _with_priority(t: pa.Table, p: int) -> pa.Table:
-        return pa.table(
-            {
-                "item": t["item"],
-                "priority": pa.array(
-                    np.full(t.num_rows, p, dtype=np.int64), pa.int64()
-                ),
-                "uri": t["uri"],
-                "h": t["h"],
-            }
-        )
-
-    cand = pa.concat_tables(
-        [
-            schema_tbl,
-            _with_priority(part(_K_WIKI), 1),
-            _with_priority(part(_K_LABEL), 2),
-            _with_priority(part(_K_MARKER), 99),
-            mandatory_tbl,
-        ],
-        promote_options="permissive",
-    )
-    _mark("uri-candidates")
-    out_tbl = merge_uri_candidates_sharded(cand)
-    _mark("uri-merge")
-    uri_mapping = HashedMap.from_arrow(
-        out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
-    )
-    uri_ds = ray.data.from_arrow(out_tbl.select(["item", "uri"]))
+    # --- URI mapping: the 4-source priority merge (plan.rs:227-382)
+    # runs remotely (_merge_pack_uri, submitted before the collect);
+    # here the driver only fetches the packed map for class machinery
+    uri_mapping = ray.get(uri_packed)
+    _mark("uri-merge (remote) wait")
+    uri_ds = ray.data.from_arrow_refs([uri_tbl_ref])
     enwiki_mapping, enwiki_ds = f_enwiki.result()
     p279_edges = f_p279.result()
     instance_counts = f_counts.result()
     best_rank = f_rank.result()
     _side_pool.shutdown(wait=False)
-    _mark("uri-hashedmap+side-reductions")
+    _mark("side-reductions")
     stats.set_global("Total URI mapping size", len(uri_mapping))
     return (
         uri_mapping,
@@ -877,6 +914,7 @@ def collect_input_reductions(
         p279_edges,
         instance_counts,
         best_rank,
+        uri_packed,
     )
 
 
@@ -1217,6 +1255,21 @@ def build_state(
         # ONE fused scan job over the union of the state-input predicate
         # partitions — four concurrent jobs contended for the same CPUs
         # (see collect_input_reductions)
+        from . import build as B  # deferred: build imports state
+
+        # the clean-value scan needs ONLY the URI broadcast REF, which
+        # the remote merge task provides the moment the fused scan
+        # resolves — submit the scan from the callback so it overlaps
+        # the merge itself, class machinery AND shape-instance
+        # resolution instead of serializing behind them in build_facts
+        _pre_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        _pre: dict = {}
+
+        def _launch_clean(uri_ref) -> None:
+            _pre["clean_maps_ref"] = _pre_pool.submit(
+                B.clean_hmm_refs, statements_root, uri_ref
+            )
+
         (
             uri_mapping,
             uri_ds,
@@ -1225,23 +1278,16 @@ def build_state(
             p279_edges,
             instance_counts,
             best_rank,
-        ) = collect_input_reductions(statements_root, schema, stats, size)
-        # the clean-value scan needs ONLY the URI broadcast — start it
-        # NOW so it overlaps class machinery + shape-instance resolution
-        # instead of serializing behind them in build_facts. BestRank
-        # came out of the same fused scan (a resolved future keeps
-        # build_facts' consumption code uniform).
-        from . import build as B  # deferred: build imports state
-
-        uri_packed = ray.put(uri_mapping)
-        _pre_pool = _cf.ThreadPoolExecutor(max_workers=1)
+            uri_packed,
+        ) = collect_input_reductions(
+            statements_root, schema, stats, size, on_uri_ref=_launch_clean
+        )
+        # BestRank came out of the same fused scan (a resolved future
+        # keeps build_facts' consumption code uniform)
         _f_rank: _cf.Future = _cf.Future()
         _f_rank.set_result(best_rank)
         prewarmed = {
-            "clean_maps": _pre_pool.submit(
-                B.build_clean_hmms_from_ref, statements_root, uri_packed,
-                stats,
-            ),
+            "clean_maps_ref": _pre["clean_maps_ref"],
             "best_rank": _f_rank,
         }
         _pre_pool.shutdown(wait=False)
