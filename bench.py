@@ -44,6 +44,10 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # NOTE: ShuffleStrategy.HASH_SHUFFLE was A/B-tested here (2026-08-19)
+    # and TIMED OUT (>560 s vs ~60 s) at 22 M rows / 32 CPUs — its
+    # aggregator actors starve the map tasks on a single constrained
+    # node. The default sort shuffle stands.
 
     import pyarrow.parquet as pq
 

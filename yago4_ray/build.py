@@ -1867,6 +1867,8 @@ def generate_yago(
                     out_dir, main_names, lineage=lineage,
                 )
             )
+            if os.environ.get("YAGO4_RAY_DS_STATS"):
+                print(combined.stats(), flush=True)
         if f_ann is not None:
             ann_written = f_ann.result()
             combined = combined if combined is not None else ann_written
