@@ -25,6 +25,7 @@ Outputs (same logical tables as plan.rs:105-196):
 from __future__ import annotations
 
 import json
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -517,10 +518,15 @@ def _object_side(
         if cfg.pattern is not None:
             # only plain strings can pass a sh:pattern (plan.rs:1388-1397)
             lit = _literal_values(out["object"])
+            with warnings.catch_warnings():
+                # SHACL patterns carry capture groups; contains() only
+                # tests for a match, so pandas' groups warning is noise
+                warnings.simplefilter("ignore", UserWarning)
+                has_pat = lit.str.contains(cfg.pattern, regex=True, na=False)
             ok = (
                 (datatype_series(out["object"]) == T.XSD_STRING)
                 & lit.notna()
-                & lit.str.contains(cfg.pattern, regex=True, na=False)
+                & has_pat
             )
             out = out[ok]
         return out if len(out) else None
