@@ -19,6 +19,8 @@ Span text micro-format produced by yago4_ray.corpus:
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -84,13 +86,34 @@ class MentionExtractor:
     """Actor-pool stage: __init__ once per actor (dictionary load),
     __call__ per Arrow batch (vectorized span scan + linking)."""
 
-    def __init__(self, dictionary, value_kinds: dict[str, str]):
+    def __init__(
+        self,
+        dictionary,
+        value_kinds: dict[str, str],
+        spill_path: str | None = None,
+    ):
         # accept a raw (surface, qid, priority) dictionary table, a
         # prepare_linker() table, or an ObjectRef to either — the ref
         # path reads the prepared table ZERO-COPY from the object store
-        # (one shared copy per node, not one pickled copy per actor)
-        if isinstance(dictionary, ray.ObjectRef):
-            dictionary = ray.get(dictionary)
+        # (one shared copy per node, not one pickled copy per actor).
+        # `spill_path` is the restart-safety net: a ray.put object has
+        # no lineage, so an actor RESTARTED after the driver's copy is
+        # lost (node failure mid-run — Ray's core_worker warns about
+        # exactly this ctor shape) can't re-fetch the ref; with a spill
+        # file it rebuilds from durable storage instead of dying.
+        if dictionary is None and spill_path is not None:
+            import pyarrow.parquet as _pq
+
+            dictionary = _pq.read_table(spill_path)
+        elif isinstance(dictionary, ray.ObjectRef):
+            try:
+                dictionary = ray.get(dictionary)
+            except Exception:
+                if spill_path is None:
+                    raise
+                import pyarrow.parquet as _pq
+
+                dictionary = _pq.read_table(spill_path)
         if "priority" in dictionary.column_names:
             dictionary = prepare_linker(dictionary)
         self.value_kinds = value_kinds
@@ -343,6 +366,7 @@ def extract_statements(
     schema: Schema | None = None,
     concurrency: int | tuple[int, int] = 4,
     batch_size: int | None = None,
+    spill_path: str | None = None,
 ) -> tuple[Dataset, Dataset]:
     """documents → (statement rows, media-candidate rows).
 
@@ -355,15 +379,34 @@ def extract_statements(
     cost, PERF_NOTES); parallelism comes from the block count, not the
     batch size. Interleaved docs with large media payloads should pass
     an explicit batch_size to bound actor heap instead.
+
+    `spill_path` (opt-in): also persist the prepared linker table as
+    parquet at this path, written CONCURRENTLY with the pipeline start
+    (a background thread — the hot path still ships the zero-copy
+    object-store ref; the file is only read if a restarted actor finds
+    the ref gone, e.g. after a node loss on a long multi-node run).
     """
     schema = schema or Schema.open()
     kinds = pid_value_kinds(schema)
     if "priority" in dictionary.column_names:
         dictionary = prepare_linker(dictionary)  # once, driver-side
     dict_ref = ray.put(dictionary)  # actors read it zero-copy
+    if spill_path is not None:
+        import threading
+
+        import pyarrow.parquet as _pq
+
+        _dict_for_spill = dictionary
+        _tmp = spill_path + ".tmp"
+
+        def _spill():
+            _pq.write_table(_dict_for_spill, _tmp)
+            os.replace(_tmp, spill_path)  # atomic: readers never see partial
+
+        threading.Thread(target=_spill, daemon=True).start()
     extracted = documents.map_batches(
         MentionExtractor,
-        fn_constructor_args=(dict_ref, kinds),
+        fn_constructor_args=(dict_ref, kinds, spill_path),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
