@@ -740,10 +740,16 @@ def build_facts(
     facts = joined.map_batches(to_triples, batch_format="pandas")
     if dedup:
         facts = distinct_rows(facts, ["subject", "predicate", "object"])
-    # advisory size for downstream shuffle-partition sizing (the facts
-    # rows skip parquet staging and union straight into the combined
-    # dedup, so its partition count must account for them)
+    # advisory size/rows for downstream shuffle sizing (the facts rows
+    # skip parquet staging and union straight into the combined dedup,
+    # so its partition count must account for them — and its BLOCK
+    # count must be re-bounded: the materialized join carries one block
+    # per join/max-count part, and a sort shuffle's exchange is
+    # (input blocks × output partitions) objects sized to the input
+    # block count, so an unbounded union leg makes the dedup quadratic
+    # in part count again — PERF_NOTES #20/#23)
     facts.join_size_bytes = joined.size_bytes()
+    facts.join_rows = joined.count()
 
     # ---- annotations (plan.rs:1034-1064, 1165-1192) ----
     if ann_configs:
@@ -1853,13 +1859,32 @@ def generate_yago(
             staged_read = ray.data.read_parquet(
                 staged_files, override_num_blocks=n_read_blocks
             )
-            combined_in = (
-                staged_read
-                if stage_facts
-                else staged_read.union(
-                    facts.map_batches(tag("facts"), batch_format="pyarrow")
+            if stage_facts:
+                combined_in = staged_read
+            else:
+                # coalesce the facts leg to the same volume-bounded
+                # block count as the staged read: the materialized join
+                # arrives as one block per join/max-count part (128 at
+                # 22 M), and the dedup's sort shuffle sizes BOTH its
+                # exchange width and its output partition count to the
+                # input block count — measured 161 input blocks → a
+                # 161×161 exchange and a flat ~10 s dedup at every CPU
+                # count. batch_size bundles adjacent blocks per map
+                # task (no extra exchange).
+                facts_rows = getattr(facts, "join_rows", 0) or 0
+                n_facts_blocks = read_blocks_for_nbytes(facts_bytes)
+                coalesce_bs = (
+                    max(8192, -(-facts_rows // n_facts_blocks))
+                    if facts_rows
+                    else None
                 )
-            )
+                combined_in = staged_read.union(
+                    facts.map_batches(
+                        tag("facts"),
+                        batch_format="pyarrow",
+                        batch_size=coalesce_bs,
+                    )
+                )
             combined = distinct_rows(
                 combined_in,
                 _STAGE_COLS,  # full key incl. annotation columns ("")
@@ -1875,10 +1900,11 @@ def generate_yago(
             )
             if os.environ.get("YAGO4_RAY_DS_STATS"):
                 print(combined.stats(), flush=True)
+            _mark("main dedup+gz-write")
         if f_ann is not None:
             ann_written = f_ann.result()
             combined = combined if combined is not None else ann_written
-        _mark("dedup+gz-write (annotated overlapped)")
+        _mark("annotated-job wait")
     shutil.rmtree(stage_dir, ignore_errors=True)
     state.stats.write(os.path.join(out_dir, "stats.tsv"))
     return {"combined": combined, "annotated-facts": annotated}

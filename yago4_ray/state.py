@@ -417,13 +417,26 @@ def _merge_pack_uri(schema_tbl, mandatory_tbl, *blocks):
     (merge_uri_candidates_sharded → HashedMap.from_arrow), bit-identical
     output; num_cpus=4 leaves room for the concurrent clean scan on an
     8-CPU session while still feeding the 8 shard threads."""
+    import os as _os
+    import time as _time
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from .broadcast import HashedMap
 
+    _t0 = _time.perf_counter()
+
+    def _mk(phase: str):
+        nonlocal _t0
+        if _os.environ.get("YAGO4_RAY_TIMINGS"):
+            now = _time.perf_counter()
+            print(f"[_merge_pack_uri] {phase}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     tbl = pa.concat_tables(list(blocks), promote_options="permissive")
     kind_col = tbl.column("kind")
+    _mk("concat-blocks")
 
     def part_p(k: int, p: int) -> pa.Table:
         t = tbl.filter(pc.equal(kind_col, k))
@@ -448,10 +461,13 @@ def _merge_pack_uri(schema_tbl, mandatory_tbl, *blocks):
         ],
         promote_options="permissive",
     )
+    _mk("cand-build")
     out_tbl = merge_uri_candidates_sharded(cand)
+    _mk("merge")
     mapping = HashedMap.from_arrow(
         out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
     )
+    _mk("hashedmap-pack")
     return mapping, out_tbl.select(["item", "uri"])
 
 
@@ -806,6 +822,7 @@ def collect_input_reductions(
 
     rows = scan_predicate(root, preds).map_batches(route, batch_format="pandas")
     block_refs = rows.to_arrow_refs()
+    _mark("scan (to_arrow_refs)")
 
     # URI candidate prep the remote merge can't derive from the blocks
     # (driver-side, tiny)
@@ -843,7 +860,7 @@ def collect_input_reductions(
         on_uri_ref(uri_packed)
 
     tbl = pa.concat_tables(ray.get(block_refs), promote_options="permissive")
-    _mark("scan+collect")
+    _mark("collect (ray.get+concat)")
     kind_col = tbl.column("kind")
 
     def part(k: int) -> pa.Table:
@@ -1159,6 +1176,18 @@ def build_shape_instances(
             pdf = pdf[~pdf["instance"].isin(bad)]
         return pdf
 
+    import os as _os
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mk(phase: str):
+        nonlocal _t0
+        if _os.environ.get("YAGO4_RAY_TIMINGS"):
+            now = _time.perf_counter()
+            print(f"[shape_instances] {phase}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     from .joins import partitioned_group_apply
 
     resolved = partitioned_group_apply(
@@ -1167,6 +1196,7 @@ def build_shape_instances(
         resolve_part,
         combine=lambda pdf: pdf.drop_duplicates(["shape", "instance"]),
     ).materialize()  # consumed by simple-types + every distributed join
+    _mk("fanout+resolve (materialize)")
 
     # collect (shape, 64-bit instance hash) — the driver receives 8-byte
     # hashes, never the instance strings (resolve_part dedups
@@ -1185,6 +1215,7 @@ def build_shape_instances(
         ),
         batch_format="pandas",
     ).to_pandas()
+    _mk("hash-collect")
     packs: dict[str, HashedSet] = {
         t: HashedSet.from_prehashed(np.empty(0, np.uint64), 0)
         for t in shape_targets
@@ -1197,6 +1228,7 @@ def build_shape_instances(
         packs = {t: HashedSet([]) for t in shape_targets}
         for shape, grp in result.groupby("shape")["instance"]:
             packs[shape] = HashedSet(grp)
+    _mk("hashedset-pack")
     for shape, pack in packs.items():
         stats.set_local("Instances of a shape", shape, len(pack))
     return packs, resolved
