@@ -108,7 +108,7 @@ class HashedMap:
         self._fallback = None if self._collision_free else dict(mapping)
 
     @classmethod
-    def from_arrow(cls, keys, values, hashes=None):
+    def from_arrow(cls, keys, values, hashes=None, presorted=False):
         """Build directly from Arrow string arrays (the driver URI-merge
         output): values never transit Python objects — they are taken
         into hash order in C++. With `hashes` (the _hash_series values
@@ -135,6 +135,22 @@ class HashedMap:
                 hashes = hashes.combine_chunks()
             h = hashes.to_numpy().astype(np.uint64, copy=False)
             n_distinct = len(keys)
+            if presorted:
+                # caller guarantees `hashes` ascending (e.g. hash-range
+                # shards concatenated in range order): skip the argsort
+                # + string gather; the collision check is one linear
+                # adjacent-compare on the sorted array
+                self.key_hashes = h
+                self.values = values.cast(pa.large_string())
+                self._collision_free = bool(
+                    len(h) < 2 or (h[1:] != h[:-1]).all()
+                )
+                self._fallback = (
+                    None
+                    if self._collision_free
+                    else dict(zip(keys.to_pylist(), values.to_pylist()))
+                )
+                return self
         else:
             key_s = keys.to_pandas()
             h = _hash_series(key_s)

@@ -405,38 +405,42 @@ def merge_uri_candidates_sharded(
     return pa.concat_tables(outs).combine_chunks()
 
 
-@ray.remote(num_returns=2, num_cpus=4)
-def _merge_pack_uri(schema_tbl, mandatory_tbl, *blocks):
-    """Worker-side URI priority merge + HashedMap pack over the fused
-    input-reduction blocks. Returning (HashedMap, (item, uri) table)
-    straight from a task means the broadcast ObjectRef EXISTS the moment
-    the scan resolves — the clean-value scan (whose tasks only ray.get
-    the ref lazily) can be planned and launched ~2.5 s before the merge
-    finishes, and the packed map goes worker → object store with no
-    driver ray.put serialize. Same kernels as the driver path
-    (merge_uri_candidates_sharded → HashedMap.from_arrow), bit-identical
-    output; num_cpus=4 leaves room for the concurrent clean scan on an
-    8-CPU session while still feeding the 8 shard threads."""
-    import os as _os
-    import time as _time
+# hash-range shard count for the remote URI merge: 2**_UM_BITS tasks,
+# each owning h >> (64 - _UM_BITS) == shard — complete item groups stay
+# together (every candidate row of an item carries the same h), and the
+# shards' hash-SORTED outputs concatenate in shard order into one
+# globally sorted array, so the final HashedMap pack is a zero-sort
+# concat (HashedMap.from_arrow presorted=True)
+_UM_BITS = 3
 
+
+@ray.remote(num_cpus=1)
+def _merge_uri_shard(schema_tbl, mandatory_tbl, shard: int, *blocks):
+    """One hash-range shard of the URI priority merge. Independent
+    1-CPU tasks ride the scheduler better than one N-thread task under
+    this host's CPU-steal weather (the 8-thread num_cpus=4 form this
+    replaces measured 2.3 s clean but 11+ s in loaded windows), and the
+    range filter (top `_UM_BITS` bits of the worker-computed item hash)
+    runs BEFORE the kind routing so each task touches ~1/shards of the
+    candidate rows."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .broadcast import HashedMap
-
-    _t0 = _time.perf_counter()
-
-    def _mk(phase: str):
-        nonlocal _t0
-        if _os.environ.get("YAGO4_RAY_TIMINGS"):
-            now = _time.perf_counter()
-            print(f"[_merge_pack_uri] {phase}: {now - _t0:.1f}s", flush=True)
-            _t0 = now
-
     tbl = pa.concat_tables(list(blocks), promote_options="permissive")
+    shift = np.uint64(64 - _UM_BITS)
+
+    def rng(t: pa.Table) -> pa.Table:
+        h = t.column("h")
+        if t.num_rows == 0:
+            return t
+        sel = pc.equal(
+            pc.shift_right(h, pa.scalar(int(shift), pa.uint64())),
+            pa.scalar(shard, pa.uint64()),
+        )
+        return t.filter(sel)
+
+    tbl = rng(tbl)
     kind_col = tbl.column("kind")
-    _mk("concat-blocks")
 
     def part_p(k: int, p: int) -> pa.Table:
         t = tbl.filter(pc.equal(kind_col, k))
@@ -453,22 +457,35 @@ def _merge_pack_uri(schema_tbl, mandatory_tbl, *blocks):
 
     cand = pa.concat_tables(
         [
-            schema_tbl,
+            rng(schema_tbl),
             part_p(_K_WIKI, 1),
             part_p(_K_LABEL, 2),
             part_p(_K_MARKER, 99),
-            mandatory_tbl,
+            rng(mandatory_tbl),
         ],
         promote_options="permissive",
     )
-    _mk("cand-build")
-    out_tbl = merge_uri_candidates_sharded(cand)
-    _mk("merge")
+    return merge_uri_candidates_arrow(cand).sort_by([("h", "ascending")])
+
+
+@ray.remote(num_returns=2)
+def _assemble_uri(*shard_tbls):
+    """Concat the hash-range merge shards (globally h-sorted by
+    construction) and pack the HashedMap broadcast without re-sorting.
+    Returning (HashedMap, (item, uri) table) straight from a task means
+    the broadcast ObjectRef EXISTS the moment the shard tasks are
+    submitted — the clean-value scan (whose tasks only ray.get the ref
+    lazily) is planned and launched while the merge still runs, and the
+    packed map goes worker → object store with no driver serialize."""
+    import pyarrow as pa
+
+    from .broadcast import HashedMap
+
+    tbl = pa.concat_tables(list(shard_tbls)).combine_chunks()
     mapping = HashedMap.from_arrow(
-        out_tbl["item"], out_tbl["uri"], hashes=out_tbl["h"]
+        tbl["item"], tbl["uri"], hashes=tbl["h"], presorted=True
     )
-    _mk("hashedmap-pack")
-    return mapping, out_tbl.select(["item", "uri"])
+    return mapping, tbl.select(["item", "uri"])
 
 
 def merge_uri_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -853,9 +870,11 @@ def collect_input_reductions(
     # the merge + HashedMap pack runs in a TASK over the scan blocks:
     # uri_packed exists NOW, so the caller can launch the clean-value
     # scan (its tasks get the ref lazily) while the merge still runs
-    uri_packed, uri_tbl_ref = _merge_pack_uri.remote(
-        schema_tbl, mandatory_tbl, *block_refs
-    )
+    shard_refs = [
+        _merge_uri_shard.remote(schema_tbl, mandatory_tbl, s, *block_refs)
+        for s in range(1 << _UM_BITS)
+    ]
+    uri_packed, uri_tbl_ref = _assemble_uri.remote(*shard_refs)
     if on_uri_ref is not None:
         on_uri_ref(uri_packed)
 
@@ -911,8 +930,9 @@ def collect_input_reductions(
     f_counts = _side_pool.submit(_counts)
 
     # --- URI mapping: the 4-source priority merge (plan.rs:227-382)
-    # runs remotely (_merge_pack_uri, submitted before the collect);
-    # here the driver only fetches the packed map for class machinery
+    # runs remotely (hash-range _merge_uri_shard tasks + _assemble_uri,
+    # submitted before the collect); here the driver only fetches the
+    # packed map for class machinery
     uri_mapping = ray.get(uri_packed)
     _mark("uri-merge (remote) wait")
     uri_ds = ray.data.from_arrow_refs([uri_tbl_ref])
