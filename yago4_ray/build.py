@@ -25,6 +25,7 @@ Outputs (same logical tables as plan.rs:105-196):
 from __future__ import annotations
 
 import json
+import os
 import warnings
 from dataclasses import dataclass
 
@@ -702,6 +703,8 @@ def build_facts(
     # and the stats — avoids recomputing the whole pipeline 3×
     joined = joined.materialize()
     _mark_timing("build_facts", "facts-join-materialize")
+    if os.environ.get("YAGO4_RAY_DS_STATS"):
+        print(joined.stats(), flush=True)
     if refs is not None and clean_counts_ref is not None:
         # the remote pack finished long before the join it overlapped;
         # fold its per-family sizes into stats with zero added wait
@@ -787,8 +790,6 @@ def build_facts(
         # map over `joined` — zero extra exchanges. Above the cap (or in
         # distributed mode, where state never transits the driver), the
         # co-partitioned join stands.
-        import os
-
         from .broadcast import HashedSet
         from .sources import store_nbytes
 
@@ -1616,7 +1617,6 @@ def generate_yago(
             "shapes": build_yago_shapes(state.schema),
         }
 
-    import os
 
     from .checkpoint import is_complete
     from .sources import MultiNTriplesGzDatasink

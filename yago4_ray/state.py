@@ -66,6 +66,10 @@ class Stats:
 
     def __init__(self):
         self._data: dict[str, dict[str, int]] = defaultdict(dict)
+        # key → zero-arg callable returning {entry: value}, resolved at
+        # write() — lets counters produced by still-running remote tasks
+        # (shape-instance pack) register without blocking the build
+        self._lazy: dict[str, object] = {}
 
     def set_global(self, key: str, value: int):
         self.set_local(key, "*", value)
@@ -73,11 +77,18 @@ class Stats:
     def set_local(self, key: str, entry: str, value: int):
         self._data[key].setdefault(str(entry), int(value))
 
+    def set_lazy(self, key: str, fn):
+        self._lazy[key] = fn
+
     def add_local(self, key: str, entry: str, value: int):
         entry = str(entry)
         self._data[key][entry] = self._data[key].get(entry, 0) + int(value)
 
     def write(self, path: str):
+        for key, fn in list(self._lazy.items()):
+            for entry, value in fn().items():
+                self.set_local(key, entry, value)
+        self._lazy.clear()
         with open(path, "w") as f:
             for key in sorted(self._data):
                 values = self._data[key]
@@ -148,8 +159,18 @@ class BuildState:
                         else HashedMap(self.uri_mapping)
                     )
                 elif name == "shape_instances":
+                    if isinstance(self.shape_instances, LazyShapePacks):
+                        # packed remotely: the task's own output ref IS
+                        # the broadcast — no driver fetch or re-put
+                        self._refs[key] = self.shape_instances.packs_ref
+                        return self._refs[key]
                     obj = self.shape_instances  # already packed HashedSets
                 elif name == "things":
+                    if isinstance(self.shape_instances, LazyShapePacks):
+                        self._refs[key] = _extract_pack.remote(
+                            self.shape_instances.packs_ref, T.SCHEMA_THING
+                        )
+                        return self._refs[key]
                     obj = self.things()
                 else:
                     raise KeyError(name)
@@ -1090,6 +1111,96 @@ def build_class_machinery(
 # ST3: shape instances (one shuffle incl. disjoint-instance removal)
 # ---------------------------------------------------------------------------
 
+@ray.remote(num_returns=2)
+def _pack_shape_instances(shape_targets, *blocks):
+    """Worker-side HashedSet pack of the resolved (shape, instance)
+    table: the driver receives only (packs ref, tiny per-shape count
+    dict) — instance strings and their hashes never transit the driver,
+    and the pack overlaps the facts-plan construction that previously
+    waited on the driver-side groupby. The 64-bit-collision fallback
+    rebuilds exact string sets IN the task (it already holds the
+    strings)."""
+    import pyarrow as pa
+
+    from .broadcast import HashedSet, _hash_series
+
+    def as_arrow(b):
+        return (
+            b
+            if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+        )
+
+    tbl = pa.concat_tables(
+        [as_arrow(b).select(["shape", "instance"]) for b in blocks],
+        promote_options="permissive",
+    )
+    packs = {
+        t: HashedSet.from_prehashed(np.empty(0, np.uint64), 0)
+        for t in shape_targets
+    }
+    if tbl.num_rows:
+        df = tbl.to_pandas()
+        df["h"] = _hash_series(df["instance"])
+        try:
+            for shape, grp in df.groupby("shape")["h"]:
+                packs[shape] = HashedSet.from_prehashed(
+                    grp.to_numpy(), len(grp)
+                )
+        except ValueError:  # 64-bit collision: exact rebuild from strings
+            packs = {t: HashedSet([]) for t in shape_targets}
+            for shape, grp in df.groupby("shape")["instance"]:
+                packs[shape] = HashedSet(grp)
+    return packs, {t: len(p) for t, p in packs.items()}
+
+
+@ray.remote
+def _extract_pack(packs, target):
+    """One shape's HashedSet out of a remote packs dict — chained on
+    the packs ref so the driver never fetches the full dict just to
+    broadcast a single member (packed_ref('things'))."""
+    from .broadcast import HashedSet
+
+    return packs.get(target) or HashedSet([])
+
+
+class LazyShapePacks:
+    """Driver handle for remotely packed shape instances: `.packs_ref`
+    feeds broadcasts with zero driver fetch; any driver-side dict access
+    materializes once (tests, small flavors)."""
+
+    def __init__(self, packs_ref, counts_ref):
+        self.packs_ref = packs_ref
+        self.counts_ref = counts_ref
+        self._val = None
+
+    def _value(self) -> dict:
+        if self._val is None:
+            self._val = ray.get(self.packs_ref)
+        return self._val
+
+    def counts(self) -> dict:
+        return ray.get(self.counts_ref)
+
+    def get(self, key, default=None):
+        return self._value().get(key, default)
+
+    def __getitem__(self, key):
+        return self._value()[key]
+
+    def __contains__(self, key):
+        return key in self._value()
+
+    def items(self):
+        return self._value().items()
+
+    def keys(self):
+        return self._value().keys()
+
+    def __len__(self):
+        return len(self._value())
+
+
 def build_shape_instances(
     root: str,
     schema: Schema,
@@ -1218,40 +1329,22 @@ def build_shape_instances(
     ).materialize()  # consumed by simple-types + every distributed join
     _mk("fanout+resolve (materialize)")
 
-    # collect (shape, 64-bit instance hash) — the driver receives 8-byte
-    # hashes, never the instance strings (resolve_part dedups
-    # (shape, instance) globally, so per-shape row counts are distinct-
-    # key counts and HashedSet.from_prehashed's collision check holds)
-    from .broadcast import HashedSet, _hash_series
-
-    hashed = resolved.map_batches(
-        lambda b: pa.table(
-            {
-                "shape": pa.array(
-                    b["shape"].to_numpy(), pa.string(), from_pandas=True
-                ),
-                "h": pa.array(_hash_series(b["instance"])),
-            }
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    _mk("hash-collect")
-    packs: dict[str, HashedSet] = {
-        t: HashedSet.from_prehashed(np.empty(0, np.uint64), 0)
-        for t in shape_targets
-    }
-    try:
-        for shape, grp in hashed.groupby("shape")["h"]:
-            packs[shape] = HashedSet.from_prehashed(grp.to_numpy(), len(grp))
-    except ValueError:  # 64-bit collision: rebuild from the strings
-        result = resolved.to_pandas()
-        packs = {t: HashedSet([]) for t in shape_targets}
-        for shape, grp in result.groupby("shape")["instance"]:
-            packs[shape] = HashedSet(grp)
-    _mk("hashedset-pack")
-    for shape, pack in packs.items():
-        stats.set_local("Instances of a shape", shape, len(pack))
-    return packs, resolved
+    # pack the HashedSets in a REMOTE task over the materialized blocks
+    # (resolve_part dedups (shape, instance) globally, so per-shape row
+    # counts are distinct-key counts and from_prehashed's collision
+    # check holds). The driver gets back only the refs: downstream
+    # broadcast consumers chain on packs_ref, stats resolve the count
+    # dict lazily (Stats.set_lazy), and the pack overlaps the facts-plan
+    # construction instead of serializing build_state.
+    packs_ref, counts_ref = _pack_shape_instances.remote(
+        shape_targets, *resolved.to_arrow_refs()
+    )
+    _mk("pack-submit")
+    lazy = LazyShapePacks(packs_ref, counts_ref)
+    stats.set_lazy(
+        "Instances of a shape", lazy.counts
+    )
+    return lazy, resolved
 
 
 # ---------------------------------------------------------------------------
