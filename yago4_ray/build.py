@@ -1110,7 +1110,7 @@ def build_full_types(root: str, state: BuildState, dedup: bool = True) -> Datase
     return out
 
 
-def _classes_static_ds(state: BuildState) -> Dataset:
+def _classes_static_rows(state: BuildState) -> list:
     """The driver-derived class rows (owl:Class types + subclass edges)
     — the store-scan label/comment rows live in the shared kernels."""
     rows = [(c, T.RDF_TYPE, T.OWL_CLASS) for c in state.yago_classes]
@@ -1119,7 +1119,11 @@ def _classes_static_ds(state: BuildState) -> Dataset:
         for sup, subs in state.yago_super_class_of.items()
         for sub in subs
     ]
-    return _triples_ds(rows)
+    return rows
+
+
+def _classes_static_ds(state: BuildState) -> Dataset:
+    return _triples_ds(_classes_static_rows(state))
 
 
 def build_classes_description(root: str, state: BuildState, dedup: bool = True) -> Dataset:
@@ -1375,6 +1379,10 @@ def _add_union_of(
 
 
 def build_yago_schema(schema: Schema) -> Dataset:
+    return _triples_ds(_yago_schema_rows(schema))
+
+
+def _yago_schema_rows(schema: Schema) -> list:
     rows: list[tuple[str, str, str]] = []
     domains: dict[str, set[str]] = {}
     object_ranges: dict[str, set[str]] = {}
@@ -1442,10 +1450,14 @@ def build_yago_schema(schema: Schema) -> Dataset:
     for prop, dts in sorted(datatype_ranges.items()):
         _add_union_of(rows, prop, T.RDFS_RANGE, sorted(dts), T.RDFS_DATATYPE)
 
-    return _triples_ds(sorted(set(rows)))
+    return sorted(set(rows))
 
 
 def build_yago_shapes(schema: Schema) -> Dataset:
+    return _triples_ds(_yago_shapes_rows(schema))
+
+
+def _yago_shapes_rows(schema: Schema) -> list:
     rows: list[tuple[str, str, str]] = []
     for node_shape in schema.node_shapes():
         if not node_shape.properties:
@@ -1492,7 +1504,7 @@ def build_yago_shapes(schema: Schema) -> Dataset:
                 rows.append((sid, T.SH_MAX_COUNT, T.integer_literal(ps.max_count)))
             if ps.pattern is not None:
                 rows.append((sid, T.SH_PATTERN, T.string_literal(ps.pattern)))
-    return _triples_ds(sorted(set(rows)))
+    return sorted(set(rows))
 
 
 # ---------------------------------------------------------------------------
@@ -1726,6 +1738,15 @@ def generate_yago(
         # the facts pipeline (broadcast-state + statement join) runs in
         # a thread; non-facts staging proceeds underneath it
         f_facts = pool.submit(build_facts, statements_root, state, dedup=False)
+        # DRIVER-backed outputs (schema/shapes, and the class static rows
+        # in broadcast mode) are plain Python lists: staging each through
+        # a Ray job paid ~0.5-1.5s of executor startup per output at
+        # EVERY CPU count — pure flat time. They are written as staged
+        # parquet directly on the driver (a few thousand rows each).
+        static_rows = {
+            "schema": _yago_schema_rows(state.schema),
+            "shapes": _yago_shapes_rows(state.schema),
+        }
         if state.distributed:
             # the distributed path joins per pipeline (build_dist);
             # each builder routes there internally
@@ -1735,8 +1756,6 @@ def generate_yago(
                 "full-types": build_full_types(statements_root, state, dedup=False),
                 "labels": build_labels(statements_root, state, dedup=False),
                 "sameAs": build_same_as(statements_root, state, dedup=False),
-                "schema": build_yago_schema(state.schema),
-                "shapes": build_yago_shapes(state.schema),
             }
             scan_ds = None
         else:
@@ -1744,14 +1763,33 @@ def generate_yago(
             # (labels, class label/comment, full-types, sameAs
             # freebase/wikipedia); only the static/dataset-driven rows
             # stay as separate tiny jobs
+            static_rows["class"] = _classes_static_rows(state)
             others = {
-                "class": _classes_static_ds(state),
                 "simple-types": build_simple_types(state),
                 "sameAs": _same_as_static(state),
-                "schema": build_yago_schema(state.schema),
-                "shapes": build_yago_shapes(state.schema),
             }
             scan_ds = build_scan_outputs(statements_root, state)
+
+        def stage_static(name, rows):
+            import pyarrow.parquet as _pq
+
+            n = len(rows)
+            tbl = pa.table(
+                {
+                    "file": pa.array([name] * n, pa.string()),
+                    "subject": pa.array([r[0] for r in rows], pa.string()),
+                    "predicate": pa.array([r[1] for r in rows], pa.string()),
+                    "object": pa.array([r[2] for r in rows], pa.string()),
+                    "annotation_predicate": pa.array([""] * n, pa.string()),
+                    "annotation_object": pa.array([""] * n, pa.string()),
+                }
+            )
+            os.makedirs(os.path.join(stage_dir, name), exist_ok=True)
+            _pq.write_table(
+                tbl,
+                os.path.join(stage_dir, name, "part-0.parquet"),
+                compression="zstd",
+            )
 
         def stage_tagged(name, ds):
             # rows already carry their output-file tag
@@ -1768,6 +1806,8 @@ def generate_yago(
             )
 
         _mark("raw-plans")
+        for name, rows in static_rows.items():
+            stage_static(name, rows)
         if stage_workers == 1:
             for name, ds in others.items():
                 stage_one(name, ds)
