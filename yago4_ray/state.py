@@ -1131,9 +1131,23 @@ def _pack_shape_instances(shape_targets, *blocks):
             else pa.Table.from_pandas(b, preserve_index=False)
         )
 
-    tbl = pa.concat_tables(
-        [as_arrow(b).select(["shape", "instance"]) for b in blocks],
-        promote_options="permissive",
+    # empty shuffle partitions surface as zero-column blocks (an empty
+    # pandas frame converts to a schema-less table) — first seen at
+    # 44 M / 32 CPUs where the part count outruns the group count
+    parts = [
+        t.select(["shape", "instance"])
+        for t in map(as_arrow, blocks)
+        if t.num_rows and "shape" in t.column_names
+    ]
+    tbl = (
+        pa.concat_tables(parts, promote_options="permissive")
+        if parts
+        else pa.table(
+            {
+                "shape": pa.array([], pa.string()),
+                "instance": pa.array([], pa.string()),
+            }
+        )
     )
     packs = {
         t: HashedSet.from_prehashed(np.empty(0, np.uint64), 0)
