@@ -187,5 +187,6 @@ def test_extract_statements_writes_spill(corpus_dir, tmp_path):
             break
         time.sleep(0.1)
     spilled = pq.read_table(spill)
-    assert spilled.column_names == ["surface_form", "qid"]
+    # h: the presorted 64-bit surface hashes the linker index builds from
+    assert spilled.column_names == ["surface_form", "qid", "h"]
     assert n > 0 and spilled.num_rows > 0

@@ -66,18 +66,34 @@ def prepare_linker(dictionary: pa.Table) -> pa.Table:
     """Resolve the surface-form dictionary to its first-wins form ONCE
     (driver-side): per surface, the lowest-priority registration wins,
     ties broken by table order (the reference linker semantics). The
-    prepared (surface_form, qid) table ships to every extractor actor
-    through the object store instead of each actor re-running the
-    multi-million-row resolution in __init__ (measured: the per-actor
-    Python sort+loop dominated extraction wall time at 1.2 M docs)."""
+    prepared (surface_form, qid, h) table — 64-bit surface hashes,
+    hash-SORTED — ships to every extractor actor through the object
+    store instead of each actor re-running the multi-million-row
+    resolution in __init__ (measured: the per-actor Python sort+loop
+    dominated extraction wall time at 1.2 M docs).
+
+    The hash sort matters at scale: `pc.index_in` rebuilds a hash table
+    over the ENTIRE value_set on every call, so per-batch linking cost
+    grew with dictionary size (51 k → 33.5 k docs/s going from 2.4 M to
+    4.8 M entities). The presorted hashes back a HashedMap whose lookup
+    is O(batch · log dict) per batch, independent of dictionary size."""
+    import numpy as np
+
+    from .broadcast import _hash_series
+
     df = dictionary.select(["surface_form", "qid", "priority"]).to_pandas()
     df = df.sort_values("priority", kind="stable").drop_duplicates(
         "surface_form", keep="first"
     )
+    h = _hash_series(df["surface_form"])
+    order = np.argsort(h, kind="stable")
     return pa.table(
         {
-            "surface_form": pa.array(df["surface_form"], pa.string()),
-            "qid": pa.array(df["qid"], pa.string()),
+            "surface_form": pa.array(
+                df["surface_form"].iloc[order], pa.string()
+            ),
+            "qid": pa.array(df["qid"].iloc[order], pa.string()),
+            "h": pa.array(h[order], pa.uint64()),
         }
     )
 
@@ -117,13 +133,41 @@ class MentionExtractor:
         if "priority" in dictionary.column_names:
             dictionary = prepare_linker(dictionary)
         self.value_kinds = value_kinds
-        # Arrow-side dictionary: index_in against _surface_arr is a C++
-        # hash lookup; arrays arrive zero-copy from the object store
+        # surface → qid lookups go through a HashedMap over the
+        # PREPARED table's presorted 64-bit hashes: per-batch cost is
+        # O(batch · log dict) — `pc.index_in` instead re-hashed the
+        # whole dictionary per call, so linking slowed down as the
+        # dictionary grew (the 100 TB anti-pattern). Arrays arrive
+        # zero-copy from the object store; collision-checked at build
+        # (exact dict fallback, never silently wrong).
+        from .broadcast import HashedMap
+
         self._surface_arr = dictionary["surface_form"].combine_chunks()
         self._qid_arr = dictionary["qid"].combine_chunks()
+        if "h" in dictionary.column_names:
+            self._map = HashedMap.from_arrow(
+                self._surface_arr,
+                self._qid_arr,
+                hashes=dictionary["h"],
+                presorted=True,
+            )
+        else:  # raw (surface, qid) table without precomputed hashes
+            self._map = HashedMap.from_arrow(
+                self._surface_arr, self._qid_arr
+            )
         self._kind_pids = pa.array(list(value_kinds), pa.string())
         self._kind_vals = pa.array(list(value_kinds.values()), pa.string())
         self._linker: dict[str, str] | None = None
+
+    def _link(self, surface: pa.Array) -> pa.Array:
+        """Vectorized surface → qid (null on miss), hash-search against
+        the per-actor sorted index."""
+        if len(surface) == 0:
+            return pa.array([], pa.string())
+        return pa.array(
+            self._map.lookup(surface.to_pandas()), pa.string(),
+            from_pandas=True,
+        )
 
     @property
     def linker(self) -> dict[str, str]:
@@ -162,7 +206,7 @@ class MentionExtractor:
         ent = pc.equal(kind, "entity")
         if pc.any(ent).as_py():
             v = pc.filter(value, ent)
-            qid = pc.take(self._qid_arr, pc.index_in(v, value_set=self._surface_arr))
+            qid = self._link(v)
             scatter(ent, pc.binary_join_element_wise("<" + T.WD, qid, ">", ""))
 
         dt = pc.equal(kind, "datetime")
@@ -276,9 +320,7 @@ class MentionExtractor:
             surface = pc.utf8_trim_whitespace(pc.list_element(parts, 0))
             pid = pc.utf8_trim_whitespace(pc.list_element(parts, 1))
             value = pc.utf8_trim_whitespace(pc.list_element(parts, 2))
-            qid = pc.take(
-                self._qid_arr, pc.index_in(surface, value_set=self._surface_arr)
-            )
+            qid = self._link(surface)
             linked = pc.is_valid(qid)
             pid, value, qid, t_doc = (
                 pc.filter(pid, linked),
