@@ -97,18 +97,21 @@ def write_statement_store(
     import pandas as pd
 
     def add_key(batch: pa.Table) -> pa.Table:
-        # per-DISTINCT-predicate key/part computation (a batch holds few
-        # distinct predicates) + per-row subject-hash salt; blocks stay
-        # Arrow so the part shuffle ships zero-copy buffers, not pickled
-        # pandas frames
-        preds = batch["predicate"].to_pylist()
-        distinct = {}
-        for p in preds:
-            if p not in distinct:
-                key = predicate_key(p)
-                distinct[p] = (key, zlib.crc32(key.encode()))
-        keys = pa.array([distinct[p][0] for p in preds], pa.string())
-        base = pd.Series([distinct[p][1] for p in preds]).to_numpy()
+        # per-DISTINCT-predicate key/part computation via dictionary
+        # encoding (a batch holds FEW distinct predicates; the previous
+        # to_pylist form materialized one PyObject per ROW — 44 M
+        # conversions per ingest) + per-row subject-hash salt; blocks
+        # stay Arrow so the part shuffle ships zero-copy buffers, not
+        # pickled pandas frames
+        enc = pc.dictionary_encode(batch["predicate"].combine_chunks())
+        uniq = enc.dictionary.to_pylist()
+        key_by_code = [predicate_key(p) for p in uniq]
+        crc_by_code = np.array(
+            [zlib.crc32(k.encode()) for k in key_by_code], dtype=np.uint64
+        )
+        codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+        keys = pc.take(pa.array(key_by_code, pa.string()), enc.indices)
+        base = crc_by_code[codes]
         if subject_salt > 1:
             # deterministic siphash (fixed pandas key) — stable across runs
             salt = (
@@ -117,8 +120,8 @@ def write_statement_store(
                 )
                 % subject_salt
             )
-            base = base * subject_salt + salt
-        parts = pa.array(base % num_parts, pa.int64())
+            base = base * np.uint64(subject_salt) + salt
+        parts = pa.array((base % num_parts).astype(np.int64), pa.int64())
         return batch.append_column("pred_key", keys).append_column(
             "__part", parts
         )
