@@ -225,17 +225,25 @@ def copartition_join(
     lt = left.map_batches(tag(0, left_cols), batch_format="pyarrow")
     rt = right.map_batches(tag(1, right_cols), batch_format="pyarrow")
 
+    # acero join_type names for the pandas-style `how` values
+    _ACERO_HOW = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }
+
     def join_part(t: pa.Table) -> pa.Table:
-        # split sides in Arrow BEFORE the pandas conversion: a typed
-        # (e.g. int64) column keeps its dtype because the nulls the
-        # other side contributed are filtered out first. The OUTPUT is
-        # Arrow too: pandas object blocks (especially empty ones) trip
-        # Ray's block size estimator and pickle strings downstream.
+        # split sides in Arrow and join with acero's C++ hash join: the
+        # previous pandas merge materialized every string of both sides
+        # as PyObjects per part — the single hottest CPU cost of the
+        # facts join at narrow sessions. Row order within a part is not
+        # guaranteed by acero; every consumer is set-semantic (dedup
+        # shuffles, sinks that sort within part, aggregations).
         side = t.column("__side")
-        lhs = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
-        rhs = t.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
-        merged = lhs.merge(rhs, on=keys, how=how)
-        out = pa.Table.from_pandas(merged, preserve_index=False)
+        lhs = t.filter(pc.equal(side, 0)).select(left_cols)
+        rhs = t.filter(pc.equal(side, 1)).select(right_cols)
+        out = lhs.join(rhs, keys=keys, join_type=_ACERO_HOW[how])
         return (
             out.replace_schema_metadata(None) if out.schema.metadata else out
         )
