@@ -253,3 +253,76 @@ def test_sharded_uri_merge_matches_unsharded():
 
     assert as_set(shard) == as_set(base)
     assert shard.num_rows == base.num_rows
+
+
+def test_hashedmap_presorted_matches_unsorted():
+    """from_arrow(presorted=True) over range-ordered shards must agree
+    with the argsort path bit-for-bit (the remote URI merge concatenates
+    hash-sorted shards and skips the sort)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from yago4_ray.broadcast import HashedMap, _hash_series
+
+    keys = [f"<k{i}>" for i in range(257)]
+    vals = [f"<v{i}>" for i in range(257)]
+    h = _hash_series(keys)
+    order = np.argsort(h, kind="stable")
+    k_arr = pa.array([keys[i] for i in order], pa.large_string())
+    v_arr = pa.array([vals[i] for i in order], pa.large_string())
+    h_arr = pa.array(h[order], pa.uint64())
+    fast = HashedMap.from_arrow(k_arr, v_arr, hashes=h_arr, presorted=True)
+    slow = HashedMap.from_arrow(
+        pa.array(keys, pa.large_string()),
+        pa.array(vals, pa.large_string()),
+        hashes=pa.array(h, pa.uint64()),
+    )
+    assert fast._collision_free and slow._collision_free
+    assert np.array_equal(fast.key_hashes, slow.key_hashes)
+    assert fast.values == slow.values
+    for k, v in zip(keys, vals):
+        assert fast.get(k) == v
+    assert fast.get("<missing>") is None
+
+
+def test_hashedmap_presorted_collision_falls_back_exact():
+    """A 64-bit collision in the presorted path must flip to the exact
+    dict fallback — never silently wrong."""
+    import numpy as np
+    import pyarrow as pa
+
+    from yago4_ray.broadcast import HashedMap
+
+    keys = pa.array(["<a>", "<b>"], pa.large_string())
+    vals = pa.array(["<1>", "<2>"], pa.large_string())
+    fake = pa.array(np.array([7, 7], np.uint64))  # forced collision
+    m = HashedMap.from_arrow(keys, vals, hashes=fake, presorted=True)
+    assert not m._collision_free
+    assert m.get("<a>") == "<1>" and m.get("<b>") == "<2>"
+    assert m.get("<c>") is None
+
+
+def test_prepare_linker_hash_sorted_and_first_wins():
+    """prepare_linker emits hash-ASCENDING rows (the presorted index
+    contract) while keeping the lowest-priority registration per
+    surface."""
+    import numpy as np
+    import pyarrow as pa
+
+    from yago4_ray.extract import prepare_linker
+
+    dictionary = pa.table(
+        {
+            "surface_form": ["Alpha", "Beta", "Alpha", "Gamma"],
+            "qid": ["Q1", "Q2", "Q3", "Q4"],
+            "priority": [2, 1, 1, 3],
+        }
+    )
+    prepared = prepare_linker(dictionary)
+    h = prepared["h"].to_numpy()
+    assert np.all(h[:-1] <= h[1:])
+    got = dict(
+        zip(prepared["surface_form"].to_pylist(), prepared["qid"].to_pylist())
+    )
+    # priority 1 beats 2 for Alpha
+    assert got == {"Alpha": "Q3", "Beta": "Q2", "Gamma": "Q4"}
