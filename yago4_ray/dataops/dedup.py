@@ -345,10 +345,15 @@ def minhash_dedup(
         lambda t: t.replace_schema_metadata(None) if t.schema.metadata else t,
         batch_format="pyarrow",
     )
-    ids_ref = ray.put(cand_ids)
+    # HashedSet, not a raw set: pandas .isin rebuilds a hash table over
+    # the whole candidate set on EVERY batch (PERF_NOTES #36) — at the
+    # 32 MB cap that's ~1M ids re-hashed per corpus block
+    from ..broadcast import HashedSet
+
+    ids_ref = ray.put(HashedSet(sorted(cand_ids)))
 
     def cand_shingles(b: pd.DataFrame) -> pa.Table:
-        keep = b[id_col].isin(get_broadcast(ids_ref))
+        keep = get_broadcast(ids_ref).contains(b[id_col])
         sel = b[keep]
         doc_idx, h = batch_shingle_hashes(sel[text_col].tolist(), k)
         order = np.lexsort((h, doc_idx))

@@ -83,7 +83,13 @@ def semi_join(
 
     def apply(batch: pd.DataFrame) -> pd.DataFrame:
         keys = get_broadcast(keys_ref)
-        mask = batch[column].isin(keys)
+        if hasattr(keys, "contains"):  # HashedSet: prebuilt sorted index
+            mask = keys.contains(batch[column])
+        else:
+            # raw set/list broadcast: pandas rebuilds a hash table over
+            # the whole key set per batch (PERF_NOTES #36) — fine for
+            # small sets, ship a HashedSet for large ones
+            mask = batch[column].isin(keys)
         return batch[~mask] if anti else batch[mask]
 
     return ds.map_batches(apply, batch_format="pandas")
