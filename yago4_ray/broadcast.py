@@ -136,14 +136,17 @@ class HashedMap:
             h = hashes.to_numpy().astype(np.uint64, copy=False)
             n_distinct = len(keys)
             if presorted:
-                # caller guarantees `hashes` ascending (e.g. hash-range
+                # caller promises `hashes` ascending (e.g. hash-range
                 # shards concatenated in range order): skip the argsort
-                # + string gather; the collision check is one linear
-                # adjacent-compare on the sorted array
+                # + string gather. The check is STRICTLY ascending —
+                # one linear compare verifies sortedness AND
+                # collision-freeness; an unsorted or colliding array
+                # flips to the exact dict fallback (correct either way,
+                # never silently wrong)
                 self.key_hashes = h
                 self.values = values.cast(pa.large_string())
                 self._collision_free = bool(
-                    len(h) < 2 or (h[1:] != h[:-1]).all()
+                    len(h) < 2 or (h[1:] > h[:-1]).all()
                 )
                 self._fallback = (
                     None

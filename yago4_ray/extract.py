@@ -145,29 +145,62 @@ class MentionExtractor:
         self._surface_arr = dictionary["surface_form"].combine_chunks()
         self._qid_arr = dictionary["qid"].combine_chunks()
         if "h" in dictionary.column_names:
-            self._map = HashedMap.from_arrow(
-                self._surface_arr,
-                self._qid_arr,
-                hashes=dictionary["h"],
-                presorted=True,
-            )
-        else:  # raw (surface, qid) table without precomputed hashes
-            self._map = HashedMap.from_arrow(
-                self._surface_arr, self._qid_arr
-            )
+            h_arr = dictionary["h"]
+        else:  # raw (surface, qid) table: hash + reorder once, here
+            import numpy as np
+
+            from .broadcast import _hash_series
+
+            h = _hash_series(self._surface_arr.to_pandas())
+            order = pa.array(np.argsort(h, kind="stable"), pa.int64())
+            self._surface_arr = pc.take(self._surface_arr, order)
+            self._qid_arr = pc.take(self._qid_arr, order)
+            h_arr = pa.array(np.sort(h), pa.uint64())
+        # invariant _link relies on: _surface_arr/_qid_arr are in the
+        # SAME ascending-hash order as the map's key_hashes (duplicate
+        # surfaces fail the strict presorted check and flip the map to
+        # its exact dict fallback, which _link routes to)
+        self._map = HashedMap.from_arrow(
+            self._surface_arr, self._qid_arr, hashes=h_arr, presorted=True
+        )
         self._kind_pids = pa.array(list(value_kinds), pa.string())
         self._kind_vals = pa.array(list(value_kinds.values()), pa.string())
         self._linker: dict[str, str] | None = None
 
     def _link(self, surface: pa.Array) -> pa.Array:
-        """Vectorized surface → qid (null on miss), hash-search against
-        the per-actor sorted index."""
+        """Vectorized surface → qid (null on miss): hash-search against
+        the per-actor sorted index, then a string-equality check of the
+        matched dictionary surface against the query. The verify step
+        closes the one gap a hash probe has over exact matching: a
+        surface NOT in the dictionary whose 64-bit hash collides with a
+        dictionary key would otherwise silently link to an unrelated
+        qid (the build-time collision check only covers key-vs-key)."""
+        import numpy as np
+
+        from .broadcast import _hash_series
+
         if len(surface) == 0:
             return pa.array([], pa.string())
-        return pa.array(
-            self._map.lookup(surface.to_pandas()), pa.string(),
-            from_pandas=True,
-        )
+        m = self._map
+        if m._fallback is not None:  # exact dict (collision build)
+            return pa.array(
+                m.lookup(surface.to_pandas()), pa.string(), from_pandas=True
+            )
+        if len(m.key_hashes) == 0:
+            return pa.nulls(len(surface), pa.string())
+        h = _hash_series(surface.to_pandas())
+        idx = np.searchsorted(m.key_hashes, h)
+        idx_c = np.minimum(idx, max(len(m.key_hashes) - 1, 0))
+        take_idx = pa.array(idx_c, type=pa.int64())
+        hit = m.key_hashes[idx_c] == h
+        # _surface_arr is stored in the SAME hash order as key_hashes
+        # (prepare_linker sorts the whole table by h), so the matched
+        # key string is a direct take — equality verifies the link
+        hit &= pc.equal(
+            pc.take(self._surface_arr, take_idx), surface
+        ).to_numpy(zero_copy_only=False)
+        qid = pc.take(self._qid_arr, take_idx)
+        return pc.if_else(pa.array(hit), qid, pa.scalar(None, pa.string()))
 
     @property
     def linker(self) -> dict[str, str]:

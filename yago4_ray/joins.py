@@ -246,10 +246,20 @@ def copartition_join(
         # facts join at narrow sessions. Row order within a part is not
         # guaranteed by acero; every consumer is set-semantic (dedup
         # shuffles, sinks that sort within part, aggregations).
+        # NOTE on null keys: acero (like SQL) never matches null join
+        # keys; the pandas merge this replaced matched NaN==NaN. No call
+        # site produces null keys (statement ids / custkeys / pair ids),
+        # and null-key equality was never intended semantics.
+        # use_threads=False: each join_part runs in a 1-CPU Ray task —
+        # acero's default process-wide pool would oversubscribe the node
+        # under ~32 concurrent parts (same convention as the dedup
+        # group_by kernel below).
         side = t.column("__side")
         lhs = t.filter(pc.equal(side, 0)).select(left_cols)
         rhs = t.filter(pc.equal(side, 1)).select(right_cols)
-        out = lhs.join(rhs, keys=keys, join_type=_ACERO_HOW[how])
+        out = lhs.join(
+            rhs, keys=keys, join_type=_ACERO_HOW[how], use_threads=False
+        )
         return (
             out.replace_schema_metadata(None) if out.schema.metadata else out
         )

@@ -86,8 +86,16 @@ class Stats:
 
     def write(self, path: str):
         for key, fn in list(self._lazy.items()):
-            for entry, value in fn().items():
-                self.set_local(key, entry, value)
+            try:
+                for entry, value in fn().items():
+                    self.set_local(key, entry, value)
+            except Exception as exc:  # a lost/failed remote counter task
+                # must not discard stats.tsv and every EAGER counter at
+                # the very last step of an otherwise-successful build
+                print(
+                    f"[stats] lazy counter {key!r} failed: {exc}",
+                    flush=True,
+                )
         self._lazy.clear()
         with open(path, "w") as f:
             for key in sorted(self._data):
@@ -1210,6 +1218,11 @@ class LazyShapePacks:
 
     def keys(self):
         return self._value().keys()
+
+    def __iter__(self):
+        # without this, `for shape in packs:` would fall back to the
+        # legacy sequence protocol and raise KeyError(0)
+        return iter(self._value())
 
     def __len__(self):
         return len(self._value())
