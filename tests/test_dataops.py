@@ -244,6 +244,47 @@ def test_similarity_brute_vs_ivf(ray_session):
         assert len(e & a) >= 3
 
 
+def test_brute_force_pairs_guard(ray_session):
+    """brute_force_pairs broadcasts the whole corpus — it must refuse
+    above max_rows with a pointer to the LSH scale path, and keep
+    working (explicit override) below/at it."""
+    import pytest
+
+    from yago4_ray.dataops.similarity import brute_force_pairs
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((12, 8)).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": list(range(12)), "embedding": [v.tolist() for v in mat]}
+        )
+    )
+    with pytest.raises(ValueError, match="embedding_dedup_pairs"):
+        brute_force_pairs(ds, threshold=0.9, max_rows=5)
+    out = brute_force_pairs(ds, threshold=-1.1, max_rows=12).to_pandas()
+    assert len(out) == 12 * 11 // 2  # all pairs pass at threshold < -1
+
+
+def test_fit_centroids_row_cap(ray_session):
+    """The centroid sample is capped by ROW COUNT: with a cap smaller
+    than the corpus the driver never sees more than max_sample_rows
+    rows, and the fit still returns usable unit-norm centroids."""
+    from yago4_ray.dataops.similarity import fit_centroids
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((400, 8)).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": list(range(400)), "embedding": [v.tolist() for v in mat]}
+        )
+    )
+    cents = fit_centroids(
+        ds, n_centroids=4, sample_fraction=1.0, max_sample_rows=64
+    )
+    assert cents.shape == (4, 8)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
+
+
 def test_text_stats(ray_session):
     from yago4_ray.dataops.textstats import (
         detect_language,

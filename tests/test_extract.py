@@ -95,6 +95,27 @@ def test_extractor_unit():
     assert media[0]["object"] == "commons://File:Ada.jpg"
 
 
+def test_raw_dictionary_duplicate_surface_first_wins():
+    """A raw (surface, qid) dictionary with duplicate surface forms must
+    resolve to the FIRST registration (the reference's table-order
+    tie-break, and what pc.index_in returned) — not flip to a dict
+    fallback whose dict(zip(...)) keeps the last one."""
+    import pyarrow as pa
+
+    dictionary = pa.table(
+        {
+            "surface_form": ["london", "london", "paris"],
+            "qid": ["Q84", "Q9999", "Q90"],
+        }
+    )
+    kinds = pid_value_kinds(Schema.open())
+    ex = MentionExtractor(dictionary, kinds)
+    got = ex._link(pa.array(["london", "paris", "absent"])).to_pylist()
+    assert got == ["Q84", "Q90", None]
+    # the hash path (not the dict fallback) must serve the lookup
+    assert ex._map._fallback is None
+
+
 def test_vectorized_kernel_parity(corpus_dir):
     """The vectorized __call__ must emit exactly the row-wise kernel's
     rows (same multiset; text rows in span order before media rows),

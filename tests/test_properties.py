@@ -118,6 +118,42 @@ def test_prehashed_set_matches_string_set(keys):
     assert (a.contains(probes) == b.contains(probes)).all()
 
 
+def test_hashedset_probe_collision_rejected():
+    """A probe NOT in the set whose 64-bit hash lands on a member hash
+    must be rejected by the exact key verify (the probe-vs-key gap a
+    bare hash index has). Real collisions are unconstructible, so the
+    hash index is tampered to simulate one: the stored key stays 'a'
+    while its hash slot is overwritten with hash('z')."""
+    import numpy as np
+    import pandas as pd
+
+    from yago4_ray.broadcast import HashedSet, _hash_series
+
+    hs = HashedSet(["a"])
+    hs.hashes = np.sort(_hash_series(["z"]))  # simulated collision
+    got = hs.contains(pd.Series(["z", "a"], dtype=object))
+    assert not got[0]  # hash matches, key differs → rejected
+    assert not got[1]  # 'a' hash no longer present
+
+
+@settings(max_examples=50)
+@given(
+    st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=100),
+    st.lists(st.text(min_size=0, max_size=40), min_size=0, max_size=50),
+)
+def test_hashedset_matches_python_set(keys, probes):
+    """contains == plain Python-set membership, including duplicate
+    keys in the input and probes overlapping/missing."""
+    import pandas as pd
+
+    from yago4_ray.broadcast import HashedSet
+
+    hs = HashedSet(keys)
+    got = hs.contains(pd.Series(keys + probes, dtype=object))
+    want = [v in set(keys) for v in keys + probes]
+    assert list(got) == want
+
+
 def test_multimap_from_columns_matches_dict():
     import pandas as pd
 

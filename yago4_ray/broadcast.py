@@ -11,9 +11,18 @@ which Ray ships through the object store with zero-copy buffers:
 `ray.get` in a worker costs ~nothing regardless of size, and lookups
 are vectorized (`np.searchsorted` over sorted 64-bit key hashes).
 
-Collision safety: keys are hashed to 64 bits (blake2b); construction
-verifies hash uniqueness and falls back to carrying the key strings for
-verification when a collision exists (never silently wrong).
+Collision safety: keys are hashed to 64 bits; construction verifies
+hash uniqueness and falls back to carrying the key strings for exact
+lookup when a key-vs-key collision exists. PROBE-vs-key collisions are
+covered too: string-built structures keep their keys in hash order
+(Arrow arrays — zero-copy to ship) and verify every hash hit with an
+exact equality compare, so a non-member probe that collides with a
+member hash is never silently accepted. The one exception is
+`HashedSet.from_prehashed`, where the keys deliberately never transit
+the driver — membership there is probabilistic with false-positive
+probability ≈ n/2**64 per probe, and its call sites (best-rank /
+shape-instance membership, where a one-in-10^12 spurious keep is
+benign) accept that documented bound.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hash_series(values) -> np.ndarray:
@@ -36,8 +46,34 @@ def _hash64(value: str) -> int:
     return int(_hash_series([value])[0])
 
 
+def _n_distinct(values) -> int:
+    """Distinct-key count with exact BYTE semantics (Arrow
+    count_distinct). pandas nunique hashes object strings as
+    C strings, so keys differing only by an embedded NUL collapse
+    (pd.Series(['', '\\x00']).nunique() == 1) — exactly the class
+    `_hash_series` also collides on, which made such collisions
+    undetectable and the hash index silently wrong for NUL-bearing
+    keys. Counting distinct in Arrow restores detection, flipping
+    construction to the exact fallback."""
+    arr = (
+        values
+        if isinstance(values, (pa.Array, pa.ChunkedArray))
+        else pa.array(
+            values.to_numpy() if isinstance(values, pd.Series) else values,
+            from_pandas=True,
+        )
+    )
+    return pc.count_distinct(arr).as_py()
+
+
 class HashedSet:
-    """Broadcastable membership set over canonical term strings."""
+    """Broadcastable membership set over canonical term strings.
+
+    Keys are kept (hash-ordered, Arrow) so `contains` verifies every
+    hash hit with an exact equality compare — a probe NOT in the set
+    whose 64-bit hash collides with a member is rejected, not silently
+    kept (the probe-vs-key gap a bare hash index has; `from_prehashed`
+    is the documented probabilistic exception)."""
 
     def __init__(self, values):
         series = (
@@ -46,14 +82,27 @@ class HashedSet:
             else pd.Series(list(values), dtype=object)
         )
         if len(series):
-            hashes = np.unique(_hash_series(series))
-            # uniqueness of hashes over distinct keys (nunique is the
-            # C-hashtable count — no Python set materialization)
-            self._collision_free = len(hashes) == series.nunique()
+            h = _hash_series(series)
+            order = np.argsort(h, kind="stable")
+            hs = h[order]
+            # uniqueness of hashes over distinct keys (_n_distinct is
+            # Arrow's C count — no Python set materialization, and
+            # exact byte semantics where pandas nunique is not)
+            self._collision_free = len(np.unique(hs)) == _n_distinct(series)
+            if self._collision_free:
+                keep = np.ones(len(hs), dtype=bool)
+                keep[1:] = hs[1:] != hs[:-1]
+                self.hashes = hs[keep]
+                self._keys = pa.array(
+                    series.to_numpy()[order][keep], from_pandas=True
+                )
+            else:  # distinct keys share a hash: exact frozenset path
+                self.hashes = np.unique(hs)
+                self._keys = None
         else:
-            hashes = np.empty(0, np.uint64)
+            self.hashes = np.empty(0, np.uint64)
             self._collision_free = True
-        self.hashes = hashes
+            self._keys = None
         self._fallback = None if self._collision_free else frozenset(series)
 
     @classmethod
@@ -61,15 +110,20 @@ class HashedSet:
         """Build from `_hash_series` values computed IN the scan tasks
         (the 100 TB form: the driver collects 8-byte hashes, never the
         key strings). Caller supplies the distinct-key count for the
-        collision check and falls back to the string constructor on the
-        (never-observed) collision — raising keeps 'never silently
-        wrong' without shipping strings on the happy path."""
+        key-vs-key collision check and falls back to the string
+        constructor on the (never-observed) collision. Because the key
+        strings never exist on the driver there is nothing to verify
+        probe hits against: membership from this form is PROBABILISTIC
+        — false-positive probability ≈ n/2**64 per probe — and its call
+        sites (best-rank / shape-instance membership) accept that a
+        one-in-10^12 spurious keep is benign."""
         self = cls.__new__(cls)
         uniq = np.unique(np.asarray(hashes, dtype=np.uint64))
         if len(uniq) != n_distinct_keys:
             raise ValueError("64-bit hash collision in prehashed set")
         self.hashes = uniq
         self._collision_free = True
+        self._keys = None
         self._fallback = None
         return self
 
@@ -81,10 +135,22 @@ class HashedSet:
             return series.isin(self._fallback).to_numpy()
         if len(self.hashes) == 0 or len(series) == 0:
             return np.zeros(len(series), dtype=bool)
-        h = _hash_series(series.to_numpy())
+        probe = np.asarray(
+            series.to_numpy() if isinstance(series, pd.Series) else series
+        )
+        h = _hash_series(probe)
         idx = np.searchsorted(self.hashes, h)
         idx = np.minimum(idx, len(self.hashes) - 1)
-        return self.hashes[idx] == h
+        hit = self.hashes[idx] == h
+        if self._keys is not None and hit.any():
+            # exact verify of hash hits against the stored key (keys are
+            # in the SAME hash order as self.hashes, so a direct take
+            # fetches each probe's matched key) — closes the
+            # probe-vs-key collision gap
+            matched = self._keys.take(pa.array(idx, type=pa.int64()))
+            eq = pc.equal(matched, pa.array(probe, from_pandas=True))
+            hit &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        return hit
 
 
 class HashedMap:
@@ -157,7 +223,7 @@ class HashedMap:
         else:
             key_s = keys.to_pandas()
             h = _hash_series(key_s)
-            n_distinct = key_s.nunique()
+            n_distinct = _n_distinct(keys)
         order = np.argsort(h, kind="stable")
         self.key_hashes = h[order]
         self.values = values.cast(pa.large_string()).take(
@@ -257,7 +323,7 @@ class HashedMultiMap:
             self.objects = pa.array(obj_np, type=pa.large_string())
             self.extras = pa.array(ext_np, type=pa.large_string())
             self._collision_free = (
-                len(np.unique(self.key_hashes)) == keys.nunique()
+                len(np.unique(self.key_hashes)) == _n_distinct(keys)
             )
         else:
             self.key_hashes = np.empty(0, np.uint64)
@@ -297,7 +363,7 @@ class HashedMultiMap:
         else:
             key_s = keys.to_pandas()
             h = _hash_series(key_s)
-            n_distinct = key_s.nunique()
+            n_distinct = _n_distinct(keys)
         order = pa.array(np.argsort(h, kind="stable"), type=pa.int64())
         self.key_hashes = np.sort(h, kind="stable")
         self.objects = objects.cast(pa.large_string()).take(order)

@@ -142,12 +142,27 @@ def brute_force_pairs(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 200_000,
 ) -> Dataset:
     """EXACT all-pairs cosine ≥ threshold (a < b): the full normalized
     matrix is broadcast once (embeddings are narrow), each batch matmuls
     against it — linear passes, zero corpus shuffle, no bucketing recall
     loss. Complements embedding_dedup_pairs (the LSH-bucketed scale
-    path) as the verifiable baseline."""
+    path) as the verifiable baseline.
+
+    Guarded: the broadcast side is the WHOLE corpus, so this is a
+    small-input verification tool by construction. Above `max_rows`
+    (raise it explicitly if you mean it) the call refuses with a
+    pointer to `embedding_dedup_pairs`, the scale path."""
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"brute_force_pairs broadcasts the full corpus to every "
+            f"task — {n_rows} rows exceeds max_rows={max_rows}. Use "
+            f"dataops.dedup.embedding_dedup_pairs (LSH-bucketed, "
+            f"distributed) for large inputs, or pass max_rows= "
+            f"explicitly if the quadratic baseline is intended."
+        )
     df = ds.to_pandas()  # id + narrow vectors only — the broadcast side
     ids_all = df[id_col].to_numpy()
     mat_all = _normalize(_stack(df[vec_col], np.float64))
@@ -174,10 +189,20 @@ def fit_centroids(
     sample_fraction: float = 0.25,
     iterations: int = 8,
     seed: int = 42,
+    max_sample_rows: int = 65_536,
 ) -> np.ndarray:
-    """Seeded mini k-means on a sample (driver-side numpy; the sample is
-    small by construction)."""
-    sample = ds.random_sample(sample_fraction, seed=seed).to_pandas()
+    """Seeded mini k-means on a sample (driver-side numpy).
+
+    The sample is capped by ROW COUNT, not only a fraction: a
+    fraction-sized sample grows with the corpus (0.25 of 100 TB is
+    25 TB on the driver), while `limit` stops the sampled stream after
+    `max_sample_rows` rows — constant driver memory at any scale, and a
+    no-op below the cap (bench/oracle inputs are unchanged)."""
+    sample = (
+        ds.random_sample(sample_fraction, seed=seed)
+        .limit(max_sample_rows)
+        .to_pandas()
+    )
     mat = _normalize(_stack(sample[vec_col]))
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]

@@ -151,7 +151,19 @@ class MentionExtractor:
 
             from .broadcast import _hash_series
 
-            h = _hash_series(self._surface_arr.to_pandas())
+            s = self._surface_arr.to_pandas()
+            # duplicate surface forms resolve FIRST-wins (the reference's
+            # table-order tie-break, and what pc.index_in returned):
+            # without this dedup, duplicate hashes fail the strict
+            # presorted check below and flip to the dict fallback, whose
+            # dict(zip(...)) keeps the LAST registration
+            dup = s.duplicated(keep="first").to_numpy()
+            if dup.any():
+                sel = pa.array(np.flatnonzero(~dup), pa.int64())
+                self._surface_arr = pc.take(self._surface_arr, sel)
+                self._qid_arr = pc.take(self._qid_arr, sel)
+                s = s[~dup]
+            h = _hash_series(s)
             order = pa.array(np.argsort(h, kind="stable"), pa.int64())
             self._surface_arr = pc.take(self._surface_arr, order)
             self._qid_arr = pc.take(self._qid_arr, order)

@@ -455,7 +455,6 @@ def _merge_uri_shard(schema_tbl, mandatory_tbl, shard: int, *blocks):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    tbl = pa.concat_tables(list(blocks), promote_options="permissive")
     shift = np.uint64(64 - _UM_BITS)
 
     def rng(t: pa.Table) -> pa.Table:
@@ -468,7 +467,14 @@ def _merge_uri_shard(schema_tbl, mandatory_tbl, shard: int, *blocks):
         )
         return t.filter(sel)
 
-    tbl = rng(tbl)
+    # range-filter each block BEFORE concatenation: concatenating the
+    # full candidate set first paid shards× concat memory per task.
+    # (Blocks still ship whole to each shard task — zero-copy here; the
+    # full multi-node fix is pre-splitting into ranges in the scan
+    # tasks, worth it only once the exchange is cross-node.)
+    tbl = pa.concat_tables(
+        [rng(b) for b in blocks], promote_options="permissive"
+    )
     kind_col = tbl.column("kind")
 
     def part_p(k: int, p: int) -> pa.Table:
