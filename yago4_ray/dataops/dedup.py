@@ -301,9 +301,11 @@ def minhash_dedup(
     (bounded by the cap — a constant, never dup-rate × corpus — and it
     skips two sort shuffles' fixed floors); larger sets take the
     co-partitioned pairs⨝shingles joins on `a` then `b`, where no
-    candidate text or shingle ever transits the driver. Only the
-    VERIFIED pair rows (near-dup edges, tiny relative to the corpus)
-    are collected for the final min-label clustering."""
+    candidate text or shingle ever transits the driver. The final
+    min-label clustering is distributed too (alternating star rounds,
+    concomp.connected_components_min_label): no pair row ever transits
+    the driver — at web-scale dup rates the verified edge list is
+    O(duplicates), far beyond one machine."""
     import ray
 
     from ..joins import copartition_join, get_broadcast
@@ -336,6 +338,7 @@ def minhash_dedup(
             flush=True,
         )
     pairs_nbytes, pairs_nblocks = pairs.size_bytes(), pairs.num_blocks()
+    pairs_schema = pairs.schema()  # free: pairs is materialized
     # pairs arrive as PANDAS blocks (partitioned_group_apply's map_groups);
     # entering the repartition/join exchanges that way re-attaches pandas
     # schema metadata at Ray's block conversion, whose dict makes the
@@ -420,9 +423,7 @@ def minhash_dedup(
                 pa.Table.from_pandas(batch[keep], preserve_index=False)
             )
 
-        verified = pairs.map_batches(
-            verify_broadcast, batch_format="pandas"
-        ).to_pandas()
+        verified = pairs.map_batches(verify_broadcast, batch_format="pandas")
     else:
         # bound the blocks FEEDING the join shuffles: the corpus scan
         # leaves one (near-empty) block per input block, and sort-shuffle
@@ -468,34 +469,21 @@ def minhash_dedup(
                 )
             )
 
-        verified = with_both.map_batches(
-            verify_joined, batch_format="pandas"
-        ).to_pandas()
-    if "a" not in verified.columns:  # all-empty blocks carry no schema
-        verified = pd.DataFrame({"a": [], "b": []})
-    # min-label propagation on the driver: candidate graph is tiny
-    # relative to the corpus (near-dup edges only)
-    label: dict = {}
-    for a, b in zip(verified["a"], verified["b"]):
-        label.setdefault(a, a)
-        label.setdefault(b, b)
+        verified = with_both.map_batches(verify_joined, batch_format="pandas")
+    # min-label clustering stays DISTRIBUTED: the verified edge set was
+    # the last thing this pipeline pulled to the driver (a union-find
+    # whose memory grew with the duplicate count — O(corpus) at a
+    # 20-30 %-dup web crawl). connected_components_min_label runs
+    # alternating star rounds over the edge Dataset; the driver holds
+    # only a round counter and a 16-byte checksum per round.
+    from .concomp import connected_components_min_label, id_type_of
 
-    def find(x):
-        while label[x] != x:
-            label[x] = label[label[x]]
-            x = label[x]
-        return x
-
-    for a, b in zip(verified["a"], verified["b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = sorted([ra, rb])
-            label[hi] = lo
-    rows = sorted((doc, find(doc)) for doc in label)
-    import ray.data
-
-    return ray.data.from_pandas(
-        pd.DataFrame({id_col: [r[0] for r in rows], "cluster": [r[1] for r in rows]})
+    cc = connected_components_min_label(
+        verified, id_type=id_type_of(pairs_schema)
+    )
+    return cc.map_batches(
+        lambda t: pa.table({id_col: t["a"], "cluster": t["b"]}),
+        batch_format="pyarrow",
     )
 
 
