@@ -37,6 +37,48 @@ def test_ntriples_roundtrip(ray_session, tmp_path):
     assert reparsed == set(zip(rows["subject"], rows["predicate"], rows["object"]))
 
 
+def test_parse_ntriples_batch_matches_per_line():
+    """The vectorized batch parser (Arrow RE2 fast path + per-line
+    fallback) must emit exactly the per-line parser's rows in line
+    order, across every shape: IRIs, blank nodes, plain/lang literals,
+    escapes, typed-literal canonicalization, comments, garbage,
+    missing dots, extra terms."""
+    import pyarrow as pa
+
+    from yago4_ray.sources import parse_ntriples_batch
+
+    lines = [
+        "<http://e/s> <http://e/p> <http://e/o> .",
+        '<http://e/s>\t<http://e/p>\t"plain value" .',
+        '<http://e/s> <http://e/p> "hello"@en .',
+        '<http://e/s> <http://e/p> "esc\\"aped" .',
+        '<http://e/s> <http://e/p> "0005"^^'
+        "<http://www.w3.org/2001/XMLSchema#integer> .",
+        '<http://e/s> <http://e/p> "x"^^'
+        "<http://www.w3.org/2001/XMLSchema#string> .",
+        "# comment line",
+        "",
+        "garbage no terms",
+        "_:b0 <http://e/p> _:b1 .",
+        '<http://e/s> <http://e/p> "tab\\tseq"@en-GB .',
+        "<http://e/s> <http://e/p> <http://e/o>",  # tolerant: no dot
+        "<a> <b> <c> <d> .",  # extra term
+    ]
+    want = [r for r in (T.parse_ntriples_line(l) for l in lines) if r]
+    got = parse_ntriples_batch(pa.table({"text": pa.array(lines)}))
+    got_rows = list(
+        zip(
+            got["subject"].to_pylist(),
+            got["predicate"].to_pylist(),
+            got["object"].to_pylist(),
+        )
+    )
+    assert got_rows == want
+    # empty batch keeps the schema
+    empty = parse_ntriples_batch(pa.table({"text": pa.array([], pa.string())}))
+    assert empty.column_names == ["subject", "predicate", "object"]
+
+
 def test_scan_predicate_filters_exact(statements_root):
     from yago4_ray.sources import scan_predicate
 
