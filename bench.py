@@ -120,6 +120,40 @@ def run_bench() -> dict:
     n_extracted = timed("extract", extract)
     throughput["extract_docs_per_s"] = round(n_docs / timings["extract"], 1)
 
+    # 2b. Lance ingest: the input_hint's corpus format. The .lance
+    # dataset is materialized once per corpus (untimed, cached —
+    # distributed two-phase fragment write); the timed leg is the
+    # fragment-parallel scan through read_documents' Lance branch
+    # (real `lance` when importable, else lancelite — same layout).
+    if "--kg-only" not in sys.argv:
+        from yago4_ray import lancelite
+        from yago4_ray.sources import read_documents
+
+        lance_path = os.path.join(
+            "/tmp", f"yago4_lance_{os.path.basename(corpus_dir)}.lance"
+        )
+        if not lancelite.is_lancelite(lance_path):
+            shutil.rmtree(lance_path, ignore_errors=True)
+            docs_src = ray.data.read_parquet(
+                os.path.join(corpus_dir, "documents.parquet")
+            )
+            lancelite.write_dataset_ray(docs_src, lance_path)
+            os.sync()
+
+        def ingest_lance():
+            import pyarrow as pa
+
+            return read_documents(lance_path).map_batches(
+                lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+                batch_format="pyarrow",
+            ).sum("n")
+
+        n_lance = timed("ingest_lance_docs", ingest_lance)
+        assert n_lance == n_docs, (n_lance, n_docs)
+        throughput["lance_docs_per_s"] = round(
+            n_docs / timings["ingest_lance_docs"], 1
+        )
+
     # 3. the KG build (state + all outputs consumed)
     def build():
         from yago4_ray.build import OUTPUT_FILE_NAMES
@@ -227,6 +261,13 @@ def run_scaling() -> dict:
         "throughput_32": hi["throughput"],
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
+        # self-describing run parameters (the --scaling default mutates
+        # both, so artifacts must say what they actually measured)
+        "n_entities": int(os.environ.get("GRAFT_N_ENTITIES") or 0) or None,
+        "kg_only": "--kg-only" in sys.argv,
+        "repeat": repeat,
+        "best_of": "per-stage minima across repeats (host CPU-steal)",
+        "cpus": [lo_cpus, hi_cpus],
     }
     return result
 
@@ -242,6 +283,13 @@ if __name__ == "__main__":
             os.environ["GRAFT_N_ENTITIES"] = "1200000"
             if "--kg-only" not in sys.argv:
                 sys.argv.append("--kg-only")
+            print(
+                "[bench --scaling] defaulting to GRAFT_N_ENTITIES=1200000 "
+                "(22 M statements) and --kg-only; the emitted JSON records "
+                "both (n_entities, kg_only)",
+                file=sys.stderr,
+                flush=True,
+            )
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

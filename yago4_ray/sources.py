@@ -673,20 +673,27 @@ def write_ntriples(
 # Documents (interleaved text+media)
 # ---------------------------------------------------------------------------
 
-def read_documents(path: str) -> Dataset:
+def read_documents(path: str, columns: list[str] | None = None) -> Dataset:
     """Read the interleaved corpus (doc_id, spans list<struct>).
-    Prefers Lance (the input_hint's table format) when the package is
-    present; falls back to Parquet with the identical Arrow schema."""
-    try:
-        import lance  # noqa: F401
+    Prefers Lance (the input_hint's table format): real `lance` when
+    the package is importable, else the from-scratch lancelite dataset
+    layout (versioned manifests over immutable fragments — see
+    yago4_ray.lancelite); falls back to Parquet with the identical
+    Arrow schema."""
+    if os.path.isdir(path) and path.endswith(".lance"):
+        from . import lancelite
 
-        if os.path.isdir(path) and path.endswith(".lance"):
-            return ray.data.read_lance(path)
-    except ImportError:
-        pass
+        if lancelite.is_lancelite(path):
+            return lancelite.read_lancelite(path, columns=columns)
+        try:
+            import lance  # noqa: F401
+
+            return ray.data.read_lance(path, columns=columns)
+        except ImportError:
+            pass
     if os.path.isdir(path):
         path = os.path.join(path, "documents.parquet")
-    return ray.data.read_parquet(path)
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def span_signature_batch(batch: pa.Table) -> pa.Table:
