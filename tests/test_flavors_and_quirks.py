@@ -128,3 +128,29 @@ def test_user_shape_extension(statements_root):
     assert set(zip(knows["subject"], knows["object"])) == set(
         zip(spouse["subject"], spouse["object"])
     )
+
+
+def test_maxcount_broadcast_and_exchange_paths_identical(
+    statements_root, monkeypatch
+):
+    """The maxCount anti-filter is volume-gated (broadcast offenders
+    under the cap, full (cfg, subject) exchange above it) — both paths
+    must produce the same facts. The small-store fixture DOES contain
+    offending groups (test_maxcount_group_dropped), so this is not a
+    vacuous gate."""
+    from yago4_ray.build import build_facts
+    from yago4_ray.state import build_state
+
+    state = build_state(statements_root)
+
+    def run():
+        facts, _ = build_facts(statements_root, state)
+        df = facts.to_pandas()
+        return set(zip(df["subject"], df["predicate"], df["object"]))
+
+    monkeypatch.delenv("YAGO4_RAY_MAXCOUNT_BROADCAST_CAP", raising=False)
+    broadcast = run()
+    monkeypatch.setenv("YAGO4_RAY_MAXCOUNT_BROADCAST_CAP", "0")
+    exchange = run()
+    assert broadcast == exchange
+    assert len(broadcast) > 0

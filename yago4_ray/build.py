@@ -564,13 +564,14 @@ def _object_side(
     return ds.map_batches(stage, batch_format="pandas")
 
 
-def _apply_max_count(joined: Dataset, configs: list[PropConfig]) -> Dataset:
-    """Whole-group drop for shapes with sh:maxCount (plan.rs:1141-1158)."""
-    max_counts = {c.cfg_id: c.max_count for c in configs if c.max_count is not None}
-    if not max_counts:
-        return joined
+def _apply_max_count_exchange(
+    joined: Dataset, max_counts: dict[str, int]
+) -> Dataset:
+    """Full-exchange maxCount path: hash-partition the limited rows by
+    (cfg, subject) and drop oversize groups per part. Correct at any
+    offender volume — the fallback when the offender set is too big to
+    broadcast (pytest-gated identical to the broadcast path)."""
     limits_ref = ray.put(max_counts)
-
     limited_cfgs = set(max_counts)
 
     def keep_small(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -592,6 +593,93 @@ def _apply_max_count(joined: Dataset, configs: list[PropConfig]) -> Dataset:
         keep_small,
     )
     return without_limit.union(filtered)
+
+
+def _apply_max_count(
+    joined: Dataset, configs: list[PropConfig], num_partitions: int = 32
+) -> Dataset:
+    """Whole-group drop for shapes with sh:maxCount (plan.rs:1141-1158).
+
+    `joined` must be MATERIALIZED. The previous implementation
+    re-exchanged the entire limited payload right after the join
+    exchange (a second full sort barrier at every session width —
+    measured 143 MB / 0.5 M rows at 22 M statements). Group sizes are
+    decomposable, so instead: per-batch (cfg, subject) count partials →
+    one SMALL partitioned sum (count rows, not payload rows) → the rare
+    offending groups come back to the driver and are dropped by a
+    broadcast anti-filter map over the materialized blocks. The
+    HashedSet probe verifies hits exactly, so a hash collision cannot
+    silently drop a valid group. Above
+    YAGO4_RAY_MAXCOUNT_BROADCAST_CAP offender bytes the full-exchange
+    path stands (both paths pytest-gated identical).
+
+    Returns a LAZY map over `joined`'s blocks (or `joined` unchanged
+    when nothing violates); callers must not re-materialize it."""
+    max_counts = {c.cfg_id: c.max_count for c in configs if c.max_count is not None}
+    if not max_counts:
+        return joined
+    limited_cfgs = set(max_counts)
+    limits_ref = ray.put(max_counts)
+
+    _EMPTY_COUNTS = {
+        "cfg": pd.Series([], dtype=object),
+        "subject": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype="int64"),
+    }
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b["cfg"].isin(limited_cfgs)]
+        if sub.empty:
+            return pd.DataFrame(_EMPTY_COUNTS)
+        return (
+            sub.groupby(["cfg", "subject"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def sum_offenders(pdf: pd.DataFrame) -> pd.DataFrame:
+        limits = get_broadcast(limits_ref)
+        tot = pdf.groupby(["cfg", "subject"], as_index=False)["n"].sum()
+        lim = tot["cfg"].map(limits)
+        return tot.loc[tot["n"] > lim, ["cfg", "subject"]]
+
+    from .joins import partitioned_group_apply
+
+    counts = joined.map_batches(partial_counts, batch_format="pandas")
+    offenders = partitioned_group_apply(
+        counts,
+        ["cfg", "subject"],
+        sum_offenders,
+        num_parts=max(4, num_partitions // 4),
+    ).materialize()
+    cap = int(
+        os.environ.get("YAGO4_RAY_MAXCOUNT_BROADCAST_CAP", str(64 << 20))
+    )
+    if (offenders.size_bytes() or 0) > cap:
+        # materialized: the exchange output feeds 3+ consumers and must
+        # not re-shuffle per consumption (the broadcast path below stays
+        # lazy because its filter is a cheap hash-probe map)
+        return _apply_max_count_exchange(joined, max_counts).materialize()
+    off = offenders.to_pandas()
+    if len(off) == 0:
+        return joined
+    from .broadcast import HashedSet
+
+    # "\x00" cannot occur in a cfg id (c{i}_{name}), so the joined key
+    # is injective
+    off_ref = ray.put(HashedSet(off["cfg"] + "\x00" + off["subject"]))
+
+    def drop_offenders(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["cfg"].isin(limited_cfgs)
+        if not m.any():
+            return b
+        offenders_set = get_broadcast(off_ref)
+        keys = b.loc[m, "cfg"] + "\x00" + b.loc[m, "subject"]
+        bad = pd.Series(False, index=b.index)
+        bad.loc[m] = offenders_set.contains(keys)
+        return b[~bad]
+
+    return joined.map_batches(drop_offenders, batch_format="pandas")
 
 
 def build_facts(
@@ -689,6 +777,16 @@ def build_facts(
     # the (lazy) subject/object scan stages — the native Dataset.join
     # here spawned num_partitions CPU-reserving aggregator actors (~1 s
     # startup each) and shuffled both sides separately
+    # bundle the tag stages to ~32 MB blocks: the exchange width (and
+    # its reduce count) follow INPUT block count, and the read floor
+    # scales with session CPUs — without this a 32-CPU session pays a
+    # 64×64 exchange where an 8-CPU one pays 16×16 on the same data
+    # (the join phase is latency-bound, not compute-bound)
+    from .sources import store_nbytes as _snb, store_num_rows as _snr
+
+    _rows = _snr(root)
+    _row_bytes = max(1, _snb(root) // max(1, _rows))
+    tag_bs = max(8192, (32 << 20) // _row_bytes)
     joined = copartition_join(
         subjects,
         objects,
@@ -696,15 +794,20 @@ def build_facts(
         left_cols=["cfg", "statement", "subject"],
         right_cols=["cfg", "statement", "object", "extras"],
         num_parts=num_partitions,
+        tag_batch_size=tag_bs,
     )
-    joined = _apply_max_count(joined, configs)
 
     # materialize once: consumed by the facts file, the annotation join
-    # and the stats — avoids recomputing the whole pipeline 3×
-    joined = joined.materialize()
+    # and the stats — avoids recomputing the whole pipeline 3×.
+    # maxCount runs AFTER the materialize as a counts pass + broadcast
+    # anti-filter (a lazy cheap map over the materialized blocks), not
+    # as a second full exchange before it.
+    joined_raw = joined.materialize()
     _mark_timing("build_facts", "facts-join-materialize")
     if os.environ.get("YAGO4_RAY_DS_STATS"):
-        print(joined.stats(), flush=True)
+        print(joined_raw.stats(), flush=True)
+    joined = _apply_max_count(joined_raw, configs, num_partitions)
+    _mark_timing("build_facts", "max-count")
     if refs is not None and clean_counts_ref is not None:
         # the remote pack finished long before the join it overlapped;
         # fold its per-family sizes into stats with zero added wait
@@ -751,8 +854,11 @@ def build_facts(
     # (input blocks × output partitions) objects sized to the input
     # block count, so an unbounded union leg makes the dedup quadratic
     # in part count again — PERF_NOTES #20/#23)
-    facts.join_size_bytes = joined.size_bytes()
-    facts.join_rows = joined.count()
+    # advisory sizes come from the RAW materialized join (free) — an
+    # upper bound on the max-count-filtered rows, which is all shuffle
+    # sizing needs
+    facts.join_size_bytes = joined_raw.size_bytes()
+    facts.join_rows = joined_raw.count()
 
     # ---- annotations (plan.rs:1034-1064, 1165-1192) ----
     if ann_configs:
@@ -1791,20 +1897,39 @@ def generate_yago(
                 compression="zstd",
             )
 
-        def stage_tagged(name, ds):
+        def _tag_scan_cols(batch: pa.Table) -> pa.Table:
             # rows already carry their output-file tag
-            def fn(batch: pa.Table) -> pa.Table:
-                empty = pa.array([""] * batch.num_rows, pa.string())
-                return (
-                    batch.append_column("annotation_predicate", empty)
-                    .append_column("annotation_object", empty)
-                    .select(_STAGE_COLS)
-                )
+            empty = pa.array([""] * batch.num_rows, pa.string())
+            return (
+                batch.append_column("annotation_predicate", empty)
+                .append_column("annotation_object", empty)
+                .select(_STAGE_COLS)
+            )
 
-            ds.map_batches(fn, batch_format="pyarrow").write_parquet(
+        def stage_tagged(name, ds):
+            ds.map_batches(_tag_scan_cols, batch_format="pyarrow").write_parquet(
                 os.path.join(stage_dir, name), compression="zstd"
             )
 
+        # scan-outputs skip the zstd-parquet round trip (write + re-read
+        # through a ~100 MB/s disk) and union straight into the combined
+        # dedup, like the facts leg. Blocks are bundled to ~32 MB BEFORE
+        # the materialize so the dedup exchange width stays
+        # volume-bounded at any session width (PERF_NOTES #33).
+        # YAGO4_RAY_STAGE_SCAN=1 restores parquet staging (A/B lever).
+        stage_scan = os.environ.get("YAGO4_RAY_STAGE_SCAN") == "1"
+
+        def collect_tagged(ds):
+            from .sources import store_num_rows
+
+            rows = store_num_rows(statements_root)
+            row_bytes = max(1, _store_bytes // max(1, rows))
+            bs = max(8192, (32 << 20) // row_bytes)
+            return ds.map_batches(
+                _tag_scan_cols, batch_format="pyarrow", batch_size=bs
+            ).materialize()
+
+        scan_mem = None
         _mark("raw-plans")
         for name, rows in static_rows.items():
             stage_static(name, rows)
@@ -1812,7 +1937,10 @@ def generate_yago(
             for name, ds in others.items():
                 stage_one(name, ds)
             if scan_ds is not None:
-                stage_tagged("scan-outputs", scan_ds)
+                if stage_scan:
+                    stage_tagged("scan-outputs", scan_ds)
+                else:
+                    scan_mem = collect_tagged(scan_ds)
             _mark("stage-others (overlapping facts join)")
             facts, annotated = f_facts.result()
             _mark("facts-join")
@@ -1822,12 +1950,20 @@ def generate_yago(
             futures = [
                 pool.submit(stage_one, name, ds) for name, ds in others.items()
             ]
+            f_scan = None
             if scan_ds is not None:
-                futures.append(pool.submit(stage_tagged, "scan-outputs", scan_ds))
+                if stage_scan:
+                    futures.append(
+                        pool.submit(stage_tagged, "scan-outputs", scan_ds)
+                    )
+                else:
+                    f_scan = pool.submit(collect_tagged, scan_ds)
             facts, annotated = f_facts.result()
             _mark("facts-join (overlapping other staging)")
             for f in futures:
                 f.result()
+            if f_scan is not None:
+                scan_mem = f_scan.result()
             _mark("stage-others")
 
         # facts rows skip the parquet round trip (the join output is
@@ -1899,6 +2035,12 @@ def generate_yago(
             staged_read = ray.data.read_parquet(
                 staged_files, override_num_blocks=n_read_blocks
             )
+            scan_bytes = 0
+            if scan_mem is not None:
+                # the in-memory scan-outputs leg: already tagged, already
+                # block-bounded by collect_tagged
+                scan_bytes = scan_mem.size_bytes() or 0
+                staged_read = staged_read.union(scan_mem)
             if stage_facts:
                 combined_in = staged_read
             else:
@@ -1929,7 +2071,10 @@ def generate_yago(
                 combined_in,
                 _STAGE_COLS,  # full key incl. annotation columns ("")
                 num_parts=max(
-                    32, partitions_for_nbytes(staged_bytes + facts_bytes)
+                    32,
+                    partitions_for_nbytes(
+                        staged_bytes + facts_bytes + scan_bytes
+                    ),
                 ),
                 keep_part_column=True,  # deterministic part-file naming
             )

@@ -169,6 +169,7 @@ def copartition_join(
     how: str = "inner",
     num_parts: int = 32,
     col_types: dict | None = None,
+    tag_batch_size: int | None = None,
 ) -> Dataset:
     """Task-based co-partitioned equi-join: tag each side, hash-partition
     the UNION on the join key, merge per part with vectorized pandas.
@@ -196,7 +197,18 @@ def copartition_join(
     per-side schema variants defeat the shuffle's schema dedup and
     trip Ray's union mismatch warning. Callers only need `col_types`
     entries for non-string columns (e.g. int64 money, binary shingle
-    payloads)."""
+    payloads).
+
+    `tag_batch_size` bundles adjacent upstream blocks per tag task
+    (PERF_NOTES #33 generalized): the sort shuffle behind the groupby
+    sizes BOTH its exchange width and its reduce count to the INPUT
+    block count, and the upstream read floor scales with session CPUs
+    — so without bundling, a 32-CPU session pays a 64×64 exchange
+    where an 8-CPU one pays 16×16 on the SAME data (measured on the
+    facts join: the whole phase is latency-bound, ~27 s of CPU inside
+    a 7–15 s wall). Callers that know their side volume should pass
+    rows-per-~32MB so exchange width tracks data volume, not session
+    width."""
     keys = [on] if isinstance(on, str) else list(on)
     all_cols = list(dict.fromkeys(left_cols + right_cols))
     types = col_types or {}
@@ -228,8 +240,12 @@ def copartition_join(
 
         return fn
 
-    lt = left.map_batches(tag(0, left_cols), batch_format="pyarrow")
-    rt = right.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    lt = left.map_batches(
+        tag(0, left_cols), batch_format="pyarrow", batch_size=tag_batch_size
+    )
+    rt = right.map_batches(
+        tag(1, right_cols), batch_format="pyarrow", batch_size=tag_batch_size
+    )
 
     # acero join_type names for the pandas-style `how` values
     _ACERO_HOW = {

@@ -256,6 +256,7 @@ def scan_predicate(
     root: str,
     predicates: str | list[str],
     columns: list[str] | None = None,
+    wide: bool = False,
 ) -> Dataset:
     """All (subject, object[, predicate]) rows for the given predicate
     term(s); partition-pruned read (replaces the RocksDB prefix seek,
@@ -285,7 +286,21 @@ def scan_predicate(
     # split small files into ~2×CPU kilobyte blocks (PERF_NOTES #29);
     # with the volume-capped count, few-files reads split to a
     # volume-appropriate width and many-files reads merge.
-    nblocks = read_blocks_for_nbytes(parquet_data_nbytes(paths))
+    nbytes = parquet_data_nbytes(paths)
+    nblocks = read_blocks_for_nbytes(nbytes)
+    if wide:
+        # consumer is a map/materialize, NOT a sort shuffle: the
+        # shuffle-width bound above caps parallelism below the session
+        # width (measured: the build_state input-reduction scan was
+        # 16-block-bound at 32 CPUs — 4.1 s vs 6.7 s at 8, eff 0.41).
+        # Widen to ~2 blocks per CPU, still floored at ~4 MB per block
+        # so tiny scans don't shatter into kilobyte tasks.
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        nblocks = max(nblocks, min(2 * cpus, nbytes // (4 << 20) + 1))
     ds = ray.data.read_parquet(
         paths,
         columns=["subject", "predicate", "object"],

@@ -872,7 +872,12 @@ def collect_input_reductions(
             print(f"[input-reductions] {phase}: {now - _t0:.1f}s", flush=True)
             _t0 = now
 
-    rows = scan_predicate(root, preds).map_batches(route, batch_format="pandas")
+    # wide=True: this scan feeds to_arrow_refs + the per-range merge
+    # tasks (no sort shuffle), so block count should track the SESSION
+    # width, not the shuffle-exchange bound
+    rows = scan_predicate(root, preds, wide=True).map_batches(
+        route, batch_format="pandas"
+    )
     block_refs = rows.to_arrow_refs()
     _mark("scan (to_arrow_refs)")
 
