@@ -154,3 +154,41 @@ def test_maxcount_broadcast_and_exchange_paths_identical(
     exchange = run()
     assert broadcast == exchange
     assert len(broadcast) > 0
+
+
+def test_hashkey_and_dict_exchange_paths_identical(statements_root, monkeypatch):
+    """The exchange-format levers (YAGO4_RAY_JOIN_HASHKEYS digest keys,
+    YAGO4_RAY_DEDUP_DICT / YAGO4_RAY_JOIN_DICT dictionary encoding —
+    the network-cluster byte levers, PERF_NOTES #38) must produce the
+    same facts + annotated facts as the default plain string exchange.
+    The fixture store exercises the annotation stitch too (force the
+    join path via a zero broadcast cap so the hash-keyed ann join runs)."""
+    from yago4_ray.build import build_facts
+    from yago4_ray.state import build_state
+
+    state = build_state(statements_root)
+
+    def run():
+        facts, annotated = build_facts(statements_root, state)
+        df = facts.to_pandas()
+        adf = annotated.to_pandas()
+        return (
+            set(zip(df["subject"], df["predicate"], df["object"])),
+            set(
+                zip(adf["subject"], adf["predicate"], adf["object"],
+                    adf["annotation_predicate"], adf["annotation_object"])
+            ),
+        )
+
+    for var in ("YAGO4_RAY_JOIN_HASHKEYS", "YAGO4_RAY_DEDUP_DICT",
+                "YAGO4_RAY_JOIN_DICT", "YAGO4_RAY_ANN_BROADCAST_CAP"):
+        monkeypatch.delenv(var, raising=False)
+    plain_facts, plain_ann = run()
+    monkeypatch.setenv("YAGO4_RAY_JOIN_HASHKEYS", "1")
+    monkeypatch.setenv("YAGO4_RAY_DEDUP_DICT", "1")
+    monkeypatch.setenv("YAGO4_RAY_JOIN_DICT", "1")
+    monkeypatch.setenv("YAGO4_RAY_ANN_BROADCAST_CAP", "0")
+    lever_facts, lever_ann = run()
+    assert lever_facts == plain_facts
+    assert lever_ann == plain_ann
+    assert len(plain_facts) > 0 and len(plain_ann) > 0

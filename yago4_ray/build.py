@@ -682,6 +682,15 @@ def _apply_max_count(
     return joined.map_batches(drop_offenders, batch_format="pandas")
 
 
+def _dict_cols(cols: list[str]) -> list[str] | None:
+    """Low-cardinality columns to dictionary-encode through a dedup
+    exchange. OFF by default: measured at 22 M / 8 CPUs the per-row
+    encode+decode passes cost as much as the plasma bytes they save on
+    a single node (PERF_NOTES #38); on a network cluster bytes win —
+    YAGO4_RAY_DEDUP_DICT=1 enables."""
+    return cols if os.environ.get("YAGO4_RAY_DEDUP_DICT") == "1" else None
+
+
 def build_facts(
     root: str,
     state: BuildState,
@@ -787,14 +796,33 @@ def build_facts(
     _rows = _snr(root)
     _row_bytes = max(1, _snb(root) // max(1, _rows))
     tag_bs = max(8192, (32 << 20) // _row_bytes)
+    # YAGO4_RAY_JOIN_HASHKEYS=1: the object side stops shipping its
+    # ~65 B/row cfg+statement strings through the exchange (the join
+    # rides a 128-bit digest; the subject side still carries the
+    # strings the downstream passes need). OFF by default: at 22 M / 8
+    # CPUs on single-node plasma the string exchange measured ~1 s
+    # FASTER per join (3-pair interleaved A/B, PERF_NOTES #38) — short
+    # keys + shared-memory exchange beat the extra hash passes. On a
+    # network cluster bytes dominate and this gate is the lever; the
+    # distributed-state path (build_dist) uses digests unconditionally
+    # because its semi-join sides drop their payload entirely.
+    hashk = os.environ.get("YAGO4_RAY_JOIN_HASHKEYS", "0") == "1"
     joined = copartition_join(
         subjects,
         objects,
         on=("cfg", "statement"),
         left_cols=["cfg", "statement", "subject"],
-        right_cols=["cfg", "statement", "object", "extras"],
+        right_cols=(
+            ["object", "extras"]
+            if hashk
+            else ["cfg", "statement", "object", "extras"]
+        ),
         num_parts=num_partitions,
         tag_batch_size=tag_bs,
+        hash_keys=hashk,
+        dict_columns=(
+            ["cfg"] if os.environ.get("YAGO4_RAY_JOIN_DICT") == "1" else None
+        ),
     )
 
     # materialize once: consumed by the facts file, the annotation join
@@ -845,7 +873,10 @@ def build_facts(
 
     facts = joined.map_batches(to_triples, batch_format="pandas")
     if dedup:
-        facts = distinct_rows(facts, ["subject", "predicate", "object"])
+        facts = distinct_rows(
+            facts, ["subject", "predicate", "object"],
+            dict_columns=_dict_cols(["predicate"]),
+        )
     # advisory size/rows for downstream shuffle sizing (the facts rows
     # skip parquet staging and union straight into the combined dedup,
     # so its partition count must account for them — and its BLOCK
@@ -935,13 +966,26 @@ def build_facts(
                 lambda b: b[["statement", "cfg", "subject", "object"]],
                 batch_format="pandas",
             )
+            # to_annotated never reads `statement` — under hash_keys
+            # neither side ships the ~53 B statement string at all
+            # (same gate + default as the facts join above)
+            hashk = os.environ.get("YAGO4_RAY_JOIN_HASHKEYS", "0") == "1"
             ann_joined = copartition_join(
                 kept,
                 annotations,
                 on="statement",
-                left_cols=["statement", "cfg", "subject", "object"],
-                right_cols=["statement", "ann_pred", "ann_obj", "ann_extras"],
+                left_cols=(
+                    ["cfg", "subject", "object"]
+                    if hashk
+                    else ["statement", "cfg", "subject", "object"]
+                ),
+                right_cols=(
+                    ["ann_pred", "ann_obj", "ann_extras"]
+                    if hashk
+                    else ["statement", "ann_pred", "ann_obj", "ann_extras"]
+                ),
                 num_parts=num_partitions,
+                hash_keys=hashk,
             )
 
         def to_annotated(batch: pd.DataFrame) -> pd.DataFrame:
@@ -980,6 +1024,7 @@ def build_facts(
                 annotated,
                 ["subject", "predicate", "object",
                  "annotation_predicate", "annotation_object"],
+                dict_columns=_dict_cols(["predicate", "annotation_predicate"]),
             )
     else:
         annotated = ray.data.from_pandas(
@@ -1661,12 +1706,14 @@ def build_combined(statements_root: str, state: BuildState) -> tuple[Dataset, Da
     n_parts = max(32, partitions_for_nbytes(store_nbytes(statements_root)))
     combined = tagged[0].union(*tagged[1:])
     combined = distinct_rows(
-        combined, ["file", "subject", "predicate", "object"], num_parts=n_parts
+        combined, ["file", "subject", "predicate", "object"], num_parts=n_parts,
+        dict_columns=_dict_cols(["file", "predicate"]),
     )
     annotated = distinct_rows(
         annotated,
         ["subject", "predicate", "object", "annotation_predicate", "annotation_object"],
         num_parts=n_parts,
+        dict_columns=_dict_cols(["predicate", "annotation_predicate"]),
     )
     return combined, annotated
 
@@ -1995,6 +2042,9 @@ def generate_yago(
             ann_out = distinct_rows(
                 ann_in,
                 _STAGE_COLS,
+                dict_columns=_dict_cols(
+                    ["file", "predicate", "annotation_predicate"]
+                ),
                 # annotations are a small fraction of the facts join
                 num_parts=max(8, partitions_for_nbytes(facts_bytes) // 4),
                 keep_part_column=True,
@@ -2070,6 +2120,7 @@ def generate_yago(
             combined = distinct_rows(
                 combined_in,
                 _STAGE_COLS,  # full key incl. annotation columns ("")
+                dict_columns=_dict_cols(["file", "predicate"]),
                 num_parts=max(
                     32,
                     partitions_for_nbytes(

@@ -88,13 +88,21 @@ def subject_side_dist(
         )
 
     rows = ds.map_batches(base, batch_format="pandas")
+    # hash_keys everywhere below: each side ships a 16-byte key digest
+    # through the exchange instead of the ~40-55 B item/statement/IRI
+    # strings (collision bound 2^-128 per copartition_join's docstring;
+    # identity vs the broadcast path is pytest-gated). Semi-join sides
+    # ship NO payload at all; `item` stops transiting once the uri is
+    # attached.
     rows = copartition_join(
         rows, best_rank_ds(root), "statement",
-        ["pid", "item", "statement"], ["statement"],
+        ["pid", "item", "statement"], [],
+        hash_keys=True,
     )
     rows = copartition_join(
         rows, state.datasets["uri_mapping"], "item",
-        ["pid", "item", "statement"], ["item", "uri"],
+        ["pid", "statement"], ["uri"],
+        hash_keys=True,
     )
 
     fan_meta = {
@@ -125,7 +133,8 @@ def subject_side_dist(
     fanned = rows.map_batches(fan, batch_format="pandas")
     joined = copartition_join(
         fanned, state.datasets["shape_instances"], ("shape", "instance"),
-        ["cfg", "shape", "statement", "instance"], ["shape", "instance"],
+        ["cfg", "statement", "instance"], [],
+        hash_keys=True,
     )
     return joined.map_batches(
         lambda b: pd.DataFrame(
@@ -197,7 +206,8 @@ def object_side_dist(
         rows = ds.map_batches(base, batch_format="pandas")
         rows = copartition_join(
             rows, state.datasets["uri_mapping"], "item",
-            ["cfg", "statement", "item"], ["item", "uri"],
+            ["cfg", "statement"], ["uri"],
+            hash_keys=True,
         )
         range_meta = {c.cfg_id: c.range_classes for c in ranges}
 
@@ -224,7 +234,8 @@ def object_side_dist(
         fanned = rows.map_batches(explode, batch_format="pandas")
         joined = copartition_join(
             fanned, state.datasets["shape_instances"], ("shape", "instance"),
-            ["cfg", "statement", "shape", "instance"], ["shape", "instance"],
+            ["cfg", "statement", "instance"], [],
+            hash_keys=True,
         )
         out = joined.map_batches(
             lambda b: pd.DataFrame(
@@ -273,8 +284,8 @@ def object_side_dist(
         rows = ds.map_batches(to_nodes, batch_format="pandas")
         joined = copartition_join(
             rows, clean_ds, ("family", "value_node"),
-            ["cfg", "statement", "family", "value_node"],
-            ["family", "value_node", "object", "extras"],
+            ["cfg", "statement"], ["object", "extras"],
+            hash_keys=True,
         )
         parts.append(
             joined.map_batches(
@@ -370,7 +381,8 @@ def labels_dist(
     rows = ds.map_batches(base, batch_format="pandas")
     rows = copartition_join(
         rows, state.datasets["uri_mapping"], "item",
-        ["path", "shape", "item", "object"], ["item", "uri"],
+        ["path", "shape", "object"], ["uri"],
+        hash_keys=True,
     )
     rows = rows.map_batches(
         lambda b: b.rename(columns={"uri": "instance"})[
@@ -380,7 +392,8 @@ def labels_dist(
     )
     joined = copartition_join(
         rows, state.datasets["shape_instances"], ("shape", "instance"),
-        ["path", "shape", "instance", "object"], ["shape", "instance"],
+        ["path", "instance", "object"], [],
+        hash_keys=True,
     )
     return joined.map_batches(
         lambda b: pd.DataFrame(
@@ -411,7 +424,8 @@ def full_types_dist(root: str, state) -> Dataset:
     )
     rows = copartition_join(
         rows, state.datasets["uri_mapping"], "item",
-        ["item", "wd_class"], ["item", "uri"],
+        ["wd_class"], ["uri"],
+        hash_keys=True,
     )
     rows = rows.map_batches(
         lambda b: b.rename(columns={"uri": "instance"})[["instance", "wd_class"]],
@@ -419,7 +433,8 @@ def full_types_dist(root: str, state) -> Dataset:
     )
     rows = copartition_join(
         rows, things_ds(state), "instance",
-        ["instance", "wd_class"], ["instance"],
+        ["instance", "wd_class"], [],
+        hash_keys=True,
     )
 
     def fan(batch: pd.DataFrame) -> pd.DataFrame:
@@ -500,8 +515,9 @@ def same_as_dist(root: str, state) -> Dataset:
         enwiki_rows.union(fb_rows, wp_rows),
         state.datasets["uri_mapping"],
         "item",
-        ["item", "predicate", "object"],
-        ["item", "uri"],
+        ["predicate", "object"],
+        ["uri"],
+        hash_keys=True,
     ).map_batches(
         lambda b: pd.DataFrame(
             {
@@ -527,7 +543,8 @@ def same_as_dist(root: str, state) -> Dataset:
 
     joined = copartition_join(
         wd_rows.union(mapped), things_ds(state), "instance",
-        ["instance", "predicate", "object"], ["instance"],
+        ["instance", "predicate", "object"], [],
+        hash_keys=True,
     )
     return joined.map_batches(
         lambda b: pd.DataFrame(

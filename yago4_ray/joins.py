@@ -170,6 +170,8 @@ def copartition_join(
     num_parts: int = 32,
     col_types: dict | None = None,
     tag_batch_size: int | None = None,
+    hash_keys: bool = False,
+    dict_columns: list[str] | None = None,
 ) -> Dataset:
     """Task-based co-partitioned equi-join: tag each side, hash-partition
     the UNION on the join key, merge per part with vectorized pandas.
@@ -208,17 +210,54 @@ def copartition_join(
     facts join: the whole phase is latency-bound, ~27 s of CPU inside
     a 7–15 s wall). Callers that know their side volume should pass
     rows-per-~32MB so exchange width tracks data volume, not session
-    width."""
+    width.
+
+    `hash_keys=True` ships a 128-bit key digest (two independently
+    seeded polars `hash_rows` uint64 columns) through the exchange
+    INSTEAD of the key strings, and joins on the digest: a side whose
+    payload doesn't need the key columns downstream stops shipping
+    them at all (e.g. the facts join's object side stops carrying the
+    ~65-byte cfg+statement strings per row; the volume-bound exchange
+    is the measured scaling limiter — PERF_NOTES #38). The key columns
+    appear in the output only if a side lists them in its `*_cols`.
+    Collision bound: a wrong match needs two DIFFERENT keys with equal
+    128-bit digests; at n distinct keys the expected count is
+    n²/2^129 ≈ 3·10⁻¹⁵ even at n = 10¹² — the same content-address
+    discipline as git. Both digests were verified decorrelated on the
+    statement-id shape (2 M keys → 2 M distinct pairs, zero h1==h2).
+
+    `dict_columns` dictionary-encodes the named (low-cardinality)
+    payload columns through the exchange — index+one-small-dict per
+    block instead of a repeated string per row (cfg: ~12 B → 4 B).
+    Only list columns with FEW distinct values: Ray's shuffle
+    serializes each per-partition slice with its FULL dictionary, so a
+    high-cardinality dictionary ships num_parts times."""
     keys = [on] if isinstance(on, str) else list(on)
+    if hash_keys:
+        # under hash_keys the former key columns are plain payload; a
+        # column on BOTH sides would collide in the per-part acero join
+        shared = set(left_cols) & set(right_cols)
+        assert not shared, f"hash_keys: columns on both sides: {shared}"
     all_cols = list(dict.fromkeys(left_cols + right_cols))
     types = col_types or {}
+    dict_cols = set(dict_columns or ())
 
     def tag(side: int, cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
             if batch.schema.metadata:
                 batch = batch.replace_schema_metadata(None)
             n = batch.num_rows
-            part = _part_ids(batch, keys, num_parts)
+            if hash_keys:
+                import polars as pl
+
+                kt = pl.from_arrow(batch.select(keys))
+                h1 = kt.hash_rows(seed=42).to_numpy()
+                h2 = kt.hash_rows(seed=0x517CC1B7).to_numpy()
+                part = pa.array(
+                    (h1 % np.uint64(num_parts)).astype("int64"), pa.int64()
+                )
+            else:
+                part = _part_ids(batch, keys, num_parts)
             arrays: list[pa.ChunkedArray | pa.Array] = []
             for c in all_cols:
                 if c in batch.column_names:
@@ -231,12 +270,22 @@ def copartition_join(
                         want = pa.string()
                     if want is not None and col.type != want:
                         col = col.cast(want)
+                    if c in dict_cols:
+                        col = pc.dictionary_encode(col)
                     arrays.append(col)
                 else:
-                    arrays.append(pa.nulls(n, types.get(c, pa.string())))
+                    filler = pa.nulls(n, types.get(c, pa.string()))
+                    if c in dict_cols:
+                        filler = pc.dictionary_encode(filler)
+                    arrays.append(filler)
+            names = list(all_cols)
+            if hash_keys:
+                arrays.append(pa.array(h1, pa.uint64()))
+                arrays.append(pa.array(h2, pa.uint64()))
+                names += ["__k1", "__k2"]
             arrays.append(part)
             arrays.append(pa.array(np.full(n, side, dtype="int8")))
-            return pa.table(dict(zip(all_cols + ["__part", "__side"], arrays)))
+            return pa.table(dict(zip(names + ["__part", "__side"], arrays)))
 
         return fn
 
@@ -271,11 +320,22 @@ def copartition_join(
         # under ~32 concurrent parts (same convention as the dedup
         # group_by kernel below).
         side = t.column("__side")
-        lhs = t.filter(pc.equal(side, 0)).select(left_cols)
-        rhs = t.filter(pc.equal(side, 1)).select(right_cols)
+        if dict_cols:
+            # decode before acero: its hash join rejects dictionary
+            # columns, and the decode touches only this part's rows
+            for i, c in enumerate(t.column_names):
+                if c in dict_cols:
+                    t = t.set_column(i, c, pc.cast(t.column(c), pa.string()))
+        join_keys = ["__k1", "__k2"] if hash_keys else keys
+        lcols = left_cols + join_keys if hash_keys else left_cols
+        rcols = right_cols + join_keys if hash_keys else right_cols
+        lhs = t.filter(pc.equal(side, 0)).select(lcols)
+        rhs = t.filter(pc.equal(side, 1)).select(rcols)
         out = lhs.join(
-            rhs, keys=keys, join_type=_ACERO_HOW[how], use_threads=False
+            rhs, keys=join_keys, join_type=_ACERO_HOW[how], use_threads=False
         )
+        if hash_keys:
+            out = out.drop_columns(["__k1", "__k2"])
         return (
             out.replace_schema_metadata(None) if out.schema.metadata else out
         )
@@ -369,6 +429,7 @@ def distinct_rows(
     columns: list[str],
     num_parts: int = 32,
     keep_part_column: bool = False,
+    dict_columns: list[str] | None = None,
 ) -> Dataset:
     """Exact distinct on `columns` (G6; SURVEY §2.7): per-batch
     combiner pre-dedup, then one partitioned dedup. Keyed on ALL
@@ -381,7 +442,14 @@ def distinct_rows(
     triple dedup), both the combiner and the per-part dedup run
     Arrow's hash group-by and no pandas object frame is ever built;
     otherwise the per-part step falls back to drop_duplicates to keep
-    the non-key columns."""
+    the non-key columns.
+
+    `dict_columns` dictionary-encodes the named low-cardinality
+    columns through the shuffle (encoded AFTER the combiner + part-id
+    hash, decoded first thing per part) — a repeated ~40 B predicate
+    IRI ships as a 4 B index + one small per-block dictionary. Same
+    caveat as copartition_join: low-cardinality columns only."""
+    dict_cols = [c for c in (dict_columns or ())]
 
     def pre(batch: pa.Table) -> pa.Table:
         if batch.schema.metadata:
@@ -400,11 +468,20 @@ def distinct_rows(
                 batch.to_pandas().drop_duplicates(columns),
                 preserve_index=False,
             ).replace_schema_metadata(None)
-        return batch.append_column(
+        batch = batch.append_column(
             "__part", _part_ids(batch, columns, num_parts)
         )
+        for c in dict_cols:
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.dictionary_encode(batch.column(i))
+            )
+        return batch
 
     def per_part(t: pa.Table) -> pa.Table:
+        for c in dict_cols:
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.cast(t.column(i), pa.string()))
         if all(c in columns or c == "__part" for c in t.column_names):
             # __part is a pure function of the key columns, so keying
             # on it too changes nothing and keeps it in the output
