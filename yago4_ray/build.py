@@ -1981,13 +1981,24 @@ def generate_yago(
         for name, rows in static_rows.items():
             stage_static(name, rows)
         if stage_workers == 1:
-            for name, ds in others.items():
-                stage_one(name, ds)
+            # wide regime: the fused scan collect dominates this phase;
+            # the 1-2 small state-dataset jobs (simple-types, sameAs
+            # static) ride the pool UNDER it — 3-4 bounded concurrent
+            # consumers, not the 8-way executor thrash the sequential
+            # gate was measured against (30.3 s vs 12 s was EIGHT
+            # concurrent staging executors). Measured at 22 M / 32
+            # CPUs: stage-others 5.4 → ~4.4 s with the join unchanged.
+            small_futs = [
+                pool.submit(stage_one, name, ds)
+                for name, ds in others.items()
+            ]
             if scan_ds is not None:
                 if stage_scan:
                     stage_tagged("scan-outputs", scan_ds)
                 else:
                     scan_mem = collect_tagged(scan_ds)
+            for f in small_futs:
+                f.result()
             _mark("stage-others (overlapping facts join)")
             facts, annotated = f_facts.result()
             _mark("facts-join")

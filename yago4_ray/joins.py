@@ -114,7 +114,7 @@ def default_join_partitions(cap: int | None = 8) -> int:
 
 
 def partitions_for_nbytes(
-    nbytes: int, target_mb: int = 96, cap: int = 512, min_mb: int = 8
+    nbytes: int, target_mb: int | None = None, cap: int = 512, min_mb: int = 8
 ) -> int:
     """Partition count sized to DATA VOLUME with a cluster floor.
 
@@ -132,7 +132,15 @@ def partitions_for_nbytes(
     makes tiny-volume shuffles pay (blocks × partitions) exchange
     objects proportional to the SESSION size (see
     sources.read_blocks_for_nbytes for the measured sf0.1/32-CPU 2×
-    kg_build regression this caused)."""
+    kg_build regression this caused).
+
+    `target_mb` defaults to 96 (re-validated round 4: 48 MB → 33 parts
+    at 22 M measured no better at 32 CPUs; YAGO4_RAY_JOIN_TARGET_MB
+    overrides for tuning runs)."""
+    import os as _os
+
+    if target_mb is None:
+        target_mb = int(_os.environ.get("YAGO4_RAY_JOIN_TARGET_MB", "96"))
     base = min(
         default_join_partitions(cap=None),
         int(nbytes // (min_mb << 20)) + 1,
