@@ -24,6 +24,19 @@ def ray_session():
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
     yield
+    # drop every cached ObjectRef/Dataset BEFORE shutdown: a ref whose
+    # destructor runs after ray.shutdown() makes the core worker abort
+    # the interpreter with a bare exit(1) — pytest dies between the
+    # last test and its summary (core_worker_process.cc:926; observed
+    # whenever test_distributed ran last in a session)
+    import gc
+
+    from yago4_ray import joins as _joins
+    from yago4_ray import queries as _queries
+
+    _joins._BROADCAST_CACHE.clear()
+    _queries._KG_CACHE.clear()
+    gc.collect()
     ray.shutdown()
 
 
