@@ -37,8 +37,11 @@ def _run(edges, **kw):
 
 
 def test_cc_chain(ray_session):
-    # a 40-node path: worst case for plain min-label propagation
+    # a 40-node path: worst case for plain min-label propagation.
+    # small_cap=0 forces the star rounds; the default takes the
+    # single-task union-find gate — both must match the reference.
     edges = [(i, i + 1) for i in range(40)]
+    assert _run(edges, small_cap=0) == _reference(edges)
     assert _run(edges) == _reference(edges)
 
 
@@ -53,6 +56,7 @@ def test_cc_cliques_and_pairs(ray_session):
 
 def test_cc_string_ids(ray_session):
     edges = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")]
+    assert _run(edges, small_cap=0) == _reference(edges)
     assert _run(edges) == _reference(edges)
 
 
@@ -68,6 +72,7 @@ def test_cc_random_graphs(ray_session):
         ]
         if not edges:
             continue
+        assert _run(edges, num_parts=4, small_cap=0) == _reference(edges)
         assert _run(edges, num_parts=4) == _reference(edges)
 
 

@@ -144,6 +144,57 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
     return n, s
 
 
+def _cc_union_find(tbl: pa.Table, id_type: pa.DataType) -> pa.Table:
+    """Min-label components of one in-memory oriented edge table via
+    union-find (path-halving + union-by-min). numpy factorization keeps
+    the loop over int indices; np.unique's ascending order makes
+    'minimum node' identical to the star rounds' Arrow `<` (both are
+    bytewise for UTF-8 strings)."""
+    a = tbl["a"].to_numpy(zero_copy_only=False)
+    b = tbl["b"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(ea, eb):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            # union by MIN index: the root is always the smallest node
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return pa.table(
+        {
+            "a": pa.array(nodes, id_type, from_pandas=True),
+            "b": pa.array(nodes[roots], id_type, from_pandas=True),
+        }
+    )
+
+
+def _cc_single_task_impl(id_type_str: str, *blocks):
+    import pyarrow as _pa
+
+    id_type = {
+        "string": _pa.string(),
+        "large_string": _pa.large_string(),
+        "int64": _pa.int64(),
+        "int32": _pa.int32(),
+        "uint64": _pa.uint64(),
+    }.get(id_type_str, _pa.string())
+    tbl = _pa.concat_tables(
+        [b for b in blocks], promote_options="permissive"
+    ).combine_chunks()
+    return _cc_union_find(tbl, id_type)
+
+
 def id_type_of(schema, column: str = "a") -> pa.DataType:
     """Arrow id type from a Ray Dataset schema (Arrow or pandas-block),
     defaulting to string for object/unknown dtypes."""
@@ -163,6 +214,7 @@ def connected_components_min_label(
     num_parts: int = 8,
     max_rounds: int = 64,
     id_type: pa.DataType | None = None,
+    small_cap: int = 8 << 20,
 ) -> Dataset:
     """(node, label) rows — label = the MINIMUM node of the connected
     component — for every node appearing in `pairs` (columns a, b),
@@ -195,6 +247,20 @@ def connected_components_min_label(
         import ray.data
 
         return ray.data.from_arrow(_empty(id_type))
+    # volume gate (the repo-wide discipline: broadcast/single-task under
+    # an explicit constant cap, distributed above — both paths
+    # pytest-identical): a small verified edge set closes in ONE remote
+    # union-find task, skipping O(log n) exchange+materialize round
+    # floors (~0.3-0.5 s each; the whole star loop is floor-bound at
+    # bench scale). No edge transits the driver either way — the task
+    # reads the oriented blocks from the object store.
+    if (edges.size_bytes() or 0) <= small_cap:
+        import ray
+        import ray.data
+
+        task = ray.remote(num_cpus=1)(_cc_single_task_impl)
+        out_ref = task.remote(str(id_type), *edges.to_arrow_refs())
+        return ray.data.from_arrow_refs([out_ref])
     streak = 0
     rounds = 0
     while streak < 2:

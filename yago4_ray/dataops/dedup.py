@@ -123,10 +123,10 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np
 
 
 class MinHasher:
-    """Actor-pool stage: hash params built once per actor; the per-batch
-    work is fully vectorized (batch shingling, one distinct-shingle ×
-    perms matrix, per-doc min via minimum.reduceat — no per-doc Python
-    loop)."""
+    """Per-batch minhash kernel: hash params built once per process
+    (see `_minhash_fn`'s cache); the per-batch work is fully vectorized
+    (batch shingling, one distinct-shingle × perms matrix, per-doc min
+    via minimum.reduceat — no per-doc Python loop)."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int,
                  shingle_k: int, seed: int):
@@ -181,6 +181,22 @@ class MinHasher:
         )
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def _minhash_fn(args: tuple):
+    """Task form of the MinHasher stage: one MinHasher per (args,
+    worker process), built lazily inside the task."""
+
+    def fn(batch):
+        mh = _MINHASHER_CACHE.get(args)
+        if mh is None:
+            mh = _MINHASHER_CACHE.setdefault(args, MinHasher(*args))
+        return mh(batch)
+
+    return fn
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     text_col: str,
@@ -209,11 +225,16 @@ def minhash_lsh_pairs(
     `keep_bucket_stats=True` each pair carries an `oversized` column
     (the source bucket's size for star edges, 0 otherwise) so callers
     can count what was capped."""
+    # plain TASKS, not an actor pool: MinHasher's state is a handful of
+    # rng coefficients (microseconds to build, cached per worker
+    # process) — the autoscaling pool paid ~1.5 s of actor startup to
+    # front a sub-second compute at bench scale, and tasks schedule on
+    # every free CPU immediately. (The actor-pool pattern is for HEAVY
+    # per-actor state — the mention linker keeps it.)
+    args = (text_col, id_col, num_perm, bands, shingle_k, seed)
     banded = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, id_col, num_perm, bands, shingle_k, seed),
+        _minhash_fn(args),
         batch_format="pandas",
-        concurrency=concurrency,
     )
 
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
