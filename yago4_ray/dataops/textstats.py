@@ -281,10 +281,15 @@ class TextStats:
 
 
 def text_stats(ds: Dataset, text_col: str = "text",
-               concurrency: int | tuple[int, int] = (2, 16)) -> Dataset:
+               concurrency: int | tuple[int, int] | None = None) -> Dataset:
+    # plain tasks: TextStats carries no per-actor state (the regexes
+    # are module-level compiled once per worker process) — the actor
+    # pool paid ~1.5 s startup to front sub-second vectorized kernels
+    # at bench scale (same finding as the minhasher, PERF_NOTES #41).
+    # An int `concurrency` still caps concurrent tasks; the old
+    # autoscaling tuple maps to "no cap".
     return ds.map_batches(
-        TextStats,
-        fn_constructor_args=(text_col,),
+        TextStats(text_col),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=None if isinstance(concurrency, tuple) else concurrency,
     )
