@@ -36,10 +36,22 @@ import pyarrow.compute as pc
 def _hash_series(values) -> np.ndarray:
     """Vectorized 64-bit string hashing (pandas siphash — C kernel,
     process-independent). A per-string Python blake2b loop here cost
-    seconds per million keys at construction AND per-batch lookup."""
+    seconds per million keys at construction AND per-batch lookup.
+
+    categorize=False is load-bearing: the default factorize path runs
+    object strings through a C-string hash table where an embedded NUL
+    terminates the key, so '\\x00' and '' COLLAPSE — a probe could hash
+    differently alone vs inside a batch (hypothesis found it:
+    test_prehashed_set_matches_string_set). The non-categorized kernel
+    hashes the full byte payload, produces the IDENTICAL hash values
+    for NUL-free strings, and is ~6× faster on mostly-distinct key
+    arrays (2.05 → 0.33 s / 2 M unique IRIs) — factorize only pays off
+    on heavy repeats, which key/probe arrays are not."""
     if not isinstance(values, pd.Series):
         values = pd.Series(values, dtype=object)
-    return pd.util.hash_pandas_object(values, index=False).to_numpy()
+    return pd.util.hash_pandas_object(
+        values, index=False, categorize=False
+    ).to_numpy()
 
 
 def _hash64(value: str) -> int:

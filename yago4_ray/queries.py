@@ -119,6 +119,49 @@ def _lowest_rows(ds: Dataset, col: str, n: int) -> pd.DataFrame:
 # SQL-matched queries
 # ---------------------------------------------------------------------------
 
+def _partial_agg(ds, keys, aggs):
+    """Decomposable aggregate as per-batch Arrow combiners + one tiny
+    driver-side final combine (the brief's canonical pre-aggregation:
+    at 3-25 groups the native groupby().aggregate() pays per-query
+    aggregator-ACTOR startup to shuffle kilobytes). `aggs` maps output
+    column -> (input column, fn) with fn in {sum, min, max, count};
+    partials are (num_blocks x groups) rows, combined with the
+    matching re-reduction (sum of counts, min of mins, ...). Returns a
+    (tiny, materialized) Dataset so callers compose unchanged."""
+    arrow_aggs = []
+    renames = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            arrow_aggs.append(("__one", "sum"))
+            renames["__one_sum"] = out
+        else:
+            arrow_aggs.append((col, fn))
+            renames[f"{col}_{fn}"] = out
+    refold = {
+        out: ("count" if fn == "count" else fn)
+        for out, (col, fn) in aggs.items()
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        if any(fn == "count" for _, fn in aggs.values()):
+            t = t.append_column(
+                "__one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+        out = t.group_by(keys, use_threads=False).aggregate(arrow_aggs)
+        return out.rename_columns(
+            [renames.get(c, c) for c in out.column_names]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    final = parts.groupby(keys, as_index=False).agg(
+        {
+            out: ("sum" if fn in ("sum", "count") else fn)
+            for out, fn in refold.items()
+        }
+    )
+    return ray.data.from_pandas(final)
+
+
 def q1_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style pricing summary; money in integer cents."""
     ds = _read(sf_dir, "lineitem",
@@ -138,15 +181,15 @@ def q1_lineitem_agg(sf_dir: str):
             "disc_cents": disc_c,
         })
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="n_rows"),
-        )
+    return _partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("qty", "sum"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "sum_disc_cents": ("disc_cents", "sum"),
+            "n_rows": (None, "count"),
+        },
     )
 
 
@@ -161,15 +204,15 @@ def q2_orders_by_status(sf_dir: str):
             ),
         })
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Min("price_cents", alias_name="min_price_cents"),
-            Max("price_cents", alias_name="max_price_cents"),
-        )
+    return _partial_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        {
+            "n_orders": (None, "count"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "min_price_cents": ("price_cents", "min"),
+            "max_price_cents": ("price_cents", "max"),
+        },
     )
 
 
@@ -196,13 +239,19 @@ def q3_revenue_by_nation(sf_dir: str):
         })
         return out[out["n_name"].notna()]
 
-    return (
-        orders.map_batches(join_batch, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="revenue_cents"),
-        )
+    joined = orders.map_batches(join_batch, batch_format="pandas")
+    return _partial_agg(
+        joined.map_batches(
+            lambda t: (
+                t.replace_schema_metadata(None) if t.schema.metadata else t
+            ),
+            batch_format="pyarrow",
+        ),
+        ["n_name"],
+        {
+            "n_orders": (None, "count"),
+            "revenue_cents": ("price_cents", "sum"),
+        },
     )
 
 
