@@ -189,8 +189,23 @@ def _cc_single_task_impl(id_type_str: str, *blocks):
         "int32": _pa.int32(),
         "uint64": _pa.uint64(),
     }.get(id_type_str, _pa.string())
+    # to_arrow_refs hands blocks through AS STORED: a pipeline whose
+    # upstream ever produced a pandas block (Ray may keep empty/
+    # fallback blocks in pandas form) delivers DataFrames here —
+    # coerce per block (observed intermittently on the minhash
+    # verified-pairs input)
+    tables = [
+        b
+        if isinstance(b, _pa.Table)
+        else _pa.Table.from_pandas(b, preserve_index=False)
+        for b in blocks
+    ]
+    tables = [
+        t.replace_schema_metadata(None) if t.schema.metadata else t
+        for t in tables
+    ]
     tbl = _pa.concat_tables(
-        [b for b in blocks], promote_options="permissive"
+        tables, promote_options="permissive"
     ).combine_chunks()
     return _cc_union_find(tbl, id_type)
 
