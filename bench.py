@@ -161,6 +161,32 @@ def run_bench() -> dict:
             n_docs / timings["ingest_lance_docs"], 1
         )
 
+        # 2c. Lance versioned append + time travel: append one fragment
+        # batch (a re-read of the dataset's own first fragment), check
+        # version N reads n0+k rows while version N-1 still reads n0,
+        # then restore N-1's fragment list with a manifest-only
+        # overwrite so reruns keep a stable corpus (the orphan fragment
+        # stays on /tmp — commits never rewrite data files).
+        def lance_append_tt():
+            ds0 = lancelite.dataset(lance_path)
+            v0, n0 = ds0.version, ds0.count_rows()
+            frag_tbl = ds0.read_fragment(ds0.fragments[0])
+            k = min(1024, frag_tbl.num_rows)
+            lancelite.write_dataset(
+                frag_tbl.slice(0, k), lance_path, mode="append"
+            )
+            now = lancelite.dataset(lance_path)
+            assert now.version == v0 + 1 and now.count_rows() == n0 + k
+            old = lancelite.dataset(lance_path, version=v0)
+            assert old.count_rows() == n0
+            lancelite.commit(
+                lance_path, frag_tbl.schema, ds0.fragments, mode="overwrite"
+            )
+            assert lancelite.dataset(lance_path).count_rows() == n0
+            return k
+
+        timed("lance_append_tt", lance_append_tt)
+
     # 3. the KG build (state + all outputs consumed)
     def build():
         from yago4_ray.build import OUTPUT_FILE_NAMES

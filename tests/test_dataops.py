@@ -686,3 +686,90 @@ def test_video_frame_sample_and_decode(ray_session):
     # frame rows compose with resize (PPM re-encode)
     rz = resize_media(frames_ds, width=8, height=8, concurrency=1).to_pandas()
     assert rz[rz["media_id"].str.contains("#t")]["resized"].all()
+
+
+def test_hot_template_cluster_stress(ray_session, capsys):
+    """100-TB hot-key discipline for the whole dedup family in one
+    scenario: a 3000-doc near-identical template cluster (one hot LSH
+    bucket everywhere) plus distinct background docs. Asserts the three
+    bounded-emission paths all TRIGGER (their counters print) and stay
+    CORRECT (clusters close through representatives; emitted pairs obey
+    each operator's own guarantee) within a bounded wall time — the
+    un-capped formulations would emit ~4.5M pairs per operator here."""
+    import time
+
+    from yago4_ray.dataops.dedup import (
+        batch_simhash64,
+        embedding_dedup_pairs,
+        minhash_dedup,
+        simhash_dedup_pairs,
+    )
+
+    n_hot, n_bg = 3000, 40
+    template = (
+        "breaking news article syndicated verbatim across portals about "
+        "the annual harvest festival and its colorful market stalls item "
+    )
+    rng = np.random.default_rng(5)
+    texts = [template + f"ref {i % 7}" for i in range(n_hot)] + [
+        " ".join(
+            rng.choice(
+                ["ship", "pottery", "quantum", "violin", "glacier", "archive",
+                 "nomad", "turbine", "orchid", "basalt"],
+                size=12,
+            ).tolist()
+        )
+        + f" unique {i}"
+        for i in range(n_bg)
+    ]
+    ids = list(range(n_hot + n_bg))
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+    t0 = time.monotonic()
+
+    # --- minhash: hot band buckets star-link through the bucket min ---
+    clusters = minhash_dedup(
+        ds, "text", "doc_id", threshold=0.8, bucket_cap=200
+    ).to_pandas()
+    hot_cluster = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    # every template doc lands in ONE cluster rooted at doc 0
+    assert sum(1 for d in range(n_hot) if hot_cluster.get(d) == 0) == n_hot
+    out1 = capsys.readouterr().out
+
+    # --- simhash: hot band buckets hamming-check vs the bucket min ---
+    pairs = simhash_dedup_pairs(
+        ds, "text", "doc_id", max_hamming=3, bucket_cap=200
+    ).to_pandas()
+    sims = batch_simhash64(texts)
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert bin(int(sims[a]) ^ int(sims[b])).count("1") <= 3
+    # the star representative keeps the hot cluster connected
+    linked = set(pairs["a"]) | set(pairs["b"])
+    assert len([d for d in linked if d < n_hot]) > n_hot * 0.9
+    out2 = capsys.readouterr().out
+
+    # --- embedding: identical-direction hot bucket can't be plane-split;
+    #     must star-emit, not recurse forever / go quadratic ---
+    base = rng.standard_normal(16).astype(np.float32)
+    bg = rng.standard_normal((n_bg, 16)).astype(np.float32)
+    vecs = np.vstack([np.tile(base, (n_hot, 1)), bg])
+    eds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    epairs = embedding_dedup_pairs(
+        eds, "embedding", "vec_id", threshold=0.99, bucket_cap=200
+    ).to_pandas()
+    # star emission: O(n) pairs rooted at vec 0, not O(n²)
+    hot_pairs = epairs[(epairs["a"] < n_hot) & (epairs["b"] < n_hot)]
+    assert len(hot_pairs) == n_hot - 1
+    assert (hot_pairs["a"] == 0).all()
+    assert np.allclose(hot_pairs["cosine"], 1.0, atol=1e-5)
+    out3 = capsys.readouterr().out
+
+    wall = time.monotonic() - t0
+    assert wall < 180, f"hot-template stress took {wall:.0f}s"
+    assert "star-linked" in out1          # minhash counter
+    assert "oversized band buckets" in out2  # simhash counter
+    assert "star-linked" in out3          # embedding star counter

@@ -143,3 +143,34 @@ def test_atomic_commit_invisible_fragments(tmp_path):
     ds = lancelite.dataset(path)
     assert ds.count_rows() == 10
     assert ds.to_table().equals(_table(10))
+
+
+def test_ray_append_and_time_travel(ray_session, tmp_path):
+    """Distributed two-phase append: a second write_dataset_ray with
+    mode="append" commits a new version whose manifest unions the old
+    fragments with the new — and version N-1 stays readable with its
+    original row count (time travel)."""
+    path = str(tmp_path / "tt.lance")
+    first = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(8)], "x": list(range(8))})
+    )
+    lancelite.write_dataset_ray(first, path)
+    ds1 = lancelite.dataset(path)
+    assert ds1.version == 1 and ds1.count_rows() == 8
+
+    extra = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [f"e{i}" for i in range(3)], "x": [10, 11, 12]})
+    )
+    v = lancelite.write_dataset_ray(extra, path, mode="append")
+    assert v == 2
+    ds2 = lancelite.dataset(path)
+    assert ds2.version == 2 and ds2.count_rows() == 11
+    # N-1 still readable with the ORIGINAL row count
+    old = lancelite.dataset(path, version=1)
+    assert old.count_rows() == 8
+    assert sorted(old.to_table()["doc_id"].to_pylist()) == sorted(
+        f"d{i}" for i in range(8)
+    )
+    # the Ray read path sees the latest version
+    got = lancelite.read_lancelite(path).to_pandas()
+    assert len(got) == 11 and got["x"].sum() == sum(range(8)) + 33

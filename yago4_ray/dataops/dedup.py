@@ -235,6 +235,10 @@ def minhash_lsh_pairs(
     banded = ds.map_batches(
         _minhash_fn(args),
         batch_format="pandas",
+        # an int concurrency still caps concurrent tasks; the old
+        # actor-pool (min, max) tuple maps to "no cap" (tasks scale to
+        # free CPUs) — same convention as textstats.text_stats
+        concurrency=None if isinstance(concurrency, tuple) else concurrency,
     )
 
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -308,6 +312,31 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return float(batch_jaccard([text_a], [text_b], k)[0])
 
 
+import ray as _ray
+
+
+@_ray.remote(num_cpus=1)
+def _collect_endpoints(*blocks):
+    """Fold materialized pair blocks into (HashedSet of endpoint ids,
+    star-edge count) in ONE task off the driver — the driver holds only
+    the returned ObjectRefs. Only dispatched under the broadcast-cap
+    volume gate, so the set is bounded by construction. Blocks arrive
+    AS STORED (pandas frames from map_groups), coerce defensively."""
+    ids: set = set()
+    n_star = 0
+    for b in blocks:
+        if isinstance(b, pa.Table):
+            b = b.to_pandas()
+        if len(b) == 0 or "a" not in b.columns:
+            continue  # empty partitions can surface as column-less frames
+        ids.update(b["a"])
+        ids.update(b["b"])
+        n_star += int((b["oversized"] > 0).sum())
+    from ..broadcast import HashedSet
+
+    return HashedSet(sorted(ids)), n_star
+
+
 def minhash_dedup(
     ds: Dataset,
     text_col: str,
@@ -336,49 +365,74 @@ def minhash_dedup(
     pairs = minhash_lsh_pairs(
         ds, text_col, id_col, keep_bucket_stats=True, **kwargs
     ).materialize()
-    # the verify state is bounded by the CANDIDATE set, never the corpus:
-    # (1) collect candidate IDS only (near-dup edge endpoints — 8-byte
-    #     hashes of them would also do; the strings are tiny) — the star
-    #     counter piggybacks on this same driver pass over the
-    #     materialized pair blocks (no extra execution),
-    # (2) one broadcast-filtered corpus pass computes each candidate's
-    #     sorted shingle array ONCE, kept distributed as a Dataset,
+    # the verify state is bounded by the CANDIDATE set, never the corpus,
+    # and VOLUME-GATED end to end — nothing is unconditionally pulled to
+    # the driver:
+    # (1) candidate-ID narrowing: below the cap, ONE remote task folds
+    #     the materialized pair blocks into a HashedSet of endpoint ids
+    #     (the driver holds only the ObjectRef; workers hold a set
+    #     bounded by the cap) and the corpus pass broadcast-filters on
+    #     it; ABOVE the cap the ids stay distributed and the corpus is
+    #     semi-joined against the distinct pair endpoints with
+    #     `copartition_join` — no endpoint set anywhere in one heap,
+    # (2) the (one) corpus pass computes each candidate's sorted shingle
+    #     array ONCE, kept distributed as a Dataset,
     # (3) two co-partitioned joins attach shingles to each pair side;
     #     verification is per part with np.intersect1d — no corpus text
     #     or shingle ever shuffles through the driver.
-    cand_ids = set()
-    n_star = 0
-    for batch in pairs.iter_batches(batch_format="pandas"):
-        cand_ids.update(batch["a"])
-        cand_ids.update(batch["b"])
-        n_star += int((batch["oversized"] > 0).sum())
+    pairs_nbytes, pairs_nblocks = pairs.size_bytes(), pairs.num_blocks()
+    pairs_schema = pairs.schema()  # free: pairs is materialized
+    pair_refs = pairs.to_arrow_refs()
+    # pairs arrive as PANDAS blocks (partitioned_group_apply's map_groups);
+    # entering the repartition/join exchanges that way re-attaches pandas
+    # schema metadata at Ray's block conversion, whose dict makes the
+    # schema unhashable and defeats the shuffle's schema dedup — convert
+    # to Arrow and strip here, once, while the pair set is tiny
+    pairs_with_over = pairs
+    pairs = pairs.drop_columns(["oversized"]).map_batches(
+        lambda t: t.replace_schema_metadata(None) if t.schema.metadata else t,
+        batch_format="pyarrow",
+    )
+    ids_ref = None
+    if pairs_nbytes <= broadcast_cap:
+        # HashedSet, not a raw set: pandas .isin rebuilds a hash table
+        # over the whole candidate set on EVERY batch (PERF_NOTES #36) —
+        # at the 32 MB cap that's ~1M ids re-hashed per corpus block
+        ids_ref, star_ref = _collect_endpoints.options(
+            num_returns=2
+        ).remote(*pair_refs)
+        n_star = ray.get(star_ref)
+    else:
+        # endpoint set exceeds the broadcast cap: count star edges with
+        # a distributed per-block partial + tiny sum instead
+        import pyarrow.compute as _pc
+
+        n_star = int(
+            pairs_with_over.map_batches(
+                lambda t: pa.table(
+                    {"ns": pa.array(
+                        [int(_pc.sum(
+                            _pc.greater(t["oversized"], 0)
+                        ).as_py() or 0)],
+                        pa.int64(),
+                    )}
+                ),
+                batch_format="pyarrow",
+            ).sum("ns")
+            or 0
+        )
     if n_star:
         print(
             f"[minhash_dedup] {n_star} star-linked pairs from oversized "
             "LSH buckets (bucket_cap exceeded)",
             flush=True,
         )
-    pairs_nbytes, pairs_nblocks = pairs.size_bytes(), pairs.num_blocks()
-    pairs_schema = pairs.schema()  # free: pairs is materialized
-    # pairs arrive as PANDAS blocks (partitioned_group_apply's map_groups);
-    # entering the repartition/join exchanges that way re-attaches pandas
-    # schema metadata at Ray's block conversion, whose dict makes the
-    # schema unhashable and defeats the shuffle's schema dedup — convert
-    # to Arrow and strip here, once, while the pair set is tiny
-    pairs = pairs.drop_columns(["oversized"]).map_batches(
-        lambda t: t.replace_schema_metadata(None) if t.schema.metadata else t,
-        batch_format="pyarrow",
-    )
-    # HashedSet, not a raw set: pandas .isin rebuilds a hash table over
-    # the whole candidate set on EVERY batch (PERF_NOTES #36) — at the
-    # 32 MB cap that's ~1M ids re-hashed per corpus block
-    from ..broadcast import HashedSet
-
-    ids_ref = ray.put(HashedSet(sorted(cand_ids)))
 
     def cand_shingles(b: pd.DataFrame) -> pa.Table:
-        keep = get_broadcast(ids_ref).contains(b[id_col])
-        sel = b[keep]
+        if ids_ref is not None:
+            sel = b[get_broadcast(ids_ref).contains(b[id_col])]
+        else:
+            sel = b  # corpus already endpoint-narrowed by the semi-join
         doc_idx, h = batch_shingle_hashes(sel[text_col].tolist(), k)
         order = np.lexsort((h, doc_idx))
         di, hh = doc_idx[order], h[order]
@@ -404,7 +458,49 @@ def minhash_dedup(
             }
         )
 
-    sh_ds = ds.map_batches(cand_shingles, batch_format="pandas").materialize()
+    if ids_ref is not None:
+        sh_src = ds
+    else:
+        # scale path: narrow the corpus to pair endpoints with a
+        # co-partitioned semi-join — the endpoint set never sits in one
+        # heap. Endpoints = distinct ids from both pair columns.
+        from ..joins import distinct_rows
+        from .concomp import id_type_of
+
+        id_type = id_type_of(pairs_schema)
+        endpoints = distinct_rows(
+            pairs.map_batches(
+                lambda t: pa.concat_tables(
+                    [
+                        t.select(["a"]).rename_columns([id_col]),
+                        t.select(["b"]).rename_columns([id_col]),
+                    ]
+                ),
+                batch_format="pyarrow",
+            ),
+            [id_col],
+        )
+        try:
+            corpus_nbytes = ds.size_bytes() or 0
+        except Exception:
+            corpus_nbytes = 0
+        from ..joins import partitions_for_nbytes
+
+        sh_src = copartition_join(
+            ds.map_batches(
+                lambda t: t.select([id_col, text_col]),
+                batch_format="pyarrow",
+            ),
+            endpoints,
+            id_col,
+            [id_col, text_col],
+            [id_col],
+            num_parts=(
+                partitions_for_nbytes(corpus_nbytes) if corpus_nbytes else 32
+            ),
+            col_types={id_col: id_type, text_col: pa.string()},
+        )
+    sh_ds = sh_src.map_batches(cand_shingles, batch_format="pandas").materialize()
 
     def _pair_keep(sh_as, sh_bs) -> np.ndarray:
         """Exact-Jaccard keep mask for aligned shingle-payload sequences."""
@@ -541,11 +637,28 @@ def simhash64(text: str) -> int:
     return int(batch_simhash64([text])[0])
 
 
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (byte-LUT, no Python)."""
+    return _POPCOUNT_LUT[x.view(np.uint8).reshape(*x.shape, 8)].sum(
+        axis=-1, dtype=np.int64
+    )
+
+
 def simhash_dedup_pairs(
-    ds: Dataset, text_col: str, id_col: str, max_hamming: int = 3
+    ds: Dataset, text_col: str, id_col: str, max_hamming: int = 3,
+    bucket_cap: int = 1000,
 ) -> Dataset:
     """Near-dup pairs by SimHash: 4×16-bit bands (any pair within
-    hamming ≤ 3 shares at least one exact band), verify hamming in-band."""
+    hamming ≤ 3 shares at least one exact band), verify hamming in-band.
+
+    The in-band check is vectorized (xor matrix + byte-LUT popcount, no
+    per-pair Python), and buckets above `bucket_cap` docs fall back to
+    an O(n) hamming check against the bucket-min representative — a
+    16-bit band over a web corpus puts ~n/65k docs in an AVERAGE bucket,
+    so one hot band value must never trigger the all-pairs loop."""
 
     def add_bands(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -563,19 +676,56 @@ def simhash_dedup_pairs(
             }
         )
 
-    _MASK = (1 << 64) - 1
-
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        frames = []
+        n_capped = 0
         for _, grp in pdf.groupby("band"):
-            # sims ride as int64; mask back to the uint64 bit pattern
-            rows = sorted({(d, int(s) & _MASK) for d, s in zip(grp["doc"], grp["sim"])})
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
-                        out_a.append(rows[i][0])
-                        out_b.append(rows[j][0])
-        return pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
+            # sims ride as int64; view back to the uint64 bit pattern.
+            # Distinct (doc, sim) rows, doc-ascending so emitted pairs
+            # keep a <= b without per-pair compares.
+            rows = grp[["doc", "sim"]].drop_duplicates().sort_values(
+                ["doc", "sim"], kind="stable"
+            )
+            docs = rows["doc"].to_numpy()
+            sims = rows["sim"].to_numpy(np.int64).view(np.uint64)
+            nn = len(docs)
+            if nn < 2:
+                continue
+            if nn > bucket_cap:
+                # oversized band bucket (template spam / degenerate
+                # band): hamming-check every doc against the bucket-min
+                # representative ONLY — O(n) per bucket, not O(n²); the
+                # cluster still closes through the representative, and
+                # every emitted pair is a TRUE hamming<=max pair (the
+                # pairs-subset-of-exact gate survives). Counted + printed
+                # like minhash's star-link.
+                n_capped += 1
+                d = _popcount64(sims ^ sims[0])
+                keep = np.nonzero(d[1:] <= max_hamming)[0] + 1
+                frames.append(
+                    pd.DataFrame({"a": docs[np.zeros(len(keep), np.int64)],
+                                  "b": docs[keep]})
+                )
+                continue
+            # vectorized all-pairs hamming: xor matrix + byte-LUT popcount
+            x = sims[:, None] ^ sims[None, :]
+            dist = _POPCOUNT_LUT[x.view(np.uint8).reshape(nn, nn, 8)].sum(
+                axis=2, dtype=np.int64
+            )
+            ii, jj = np.nonzero(np.triu(dist <= max_hamming, k=1))
+            frames.append(pd.DataFrame({"a": docs[ii], "b": docs[jj]}))
+        if n_capped:
+            print(
+                f"[simhash_dedup] {n_capped} oversized band buckets "
+                f"(> {bucket_cap} docs) star-checked against the bucket min",
+                flush=True,
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=pdf["doc"].dtype),
+                 "b": pd.Series(dtype=pdf["doc"].dtype)}
+            )
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
 
     from ..joins import distinct_rows, partitioned_group_apply
 
@@ -626,30 +776,61 @@ def embedding_dedup_pairs(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
         bits = (mat @ pl) > 0
-        keys = [
-            "".join("1" if b else "0" for b in row) for row in bits
-        ]
+        # pack the sign bits into one int64 key (no per-row Python join;
+        # num_planes <= 62 by construction)
+        keys = bits.astype(np.int64) @ (
+            np.int64(1) << np.arange(bits.shape[1], dtype=np.int64)
+        )
         return pd.DataFrame(
             {"bucket": keys, "id": batch[id_col],
              "vec": [v.tobytes() for v in mat]}
         )
 
+    _MAX_SPLIT_DEPTH = 40
+
     def pairs_in_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_c = [], [], []
         n_splits = 0
+        n_stars = 0
+
+        def star_emit(ids: np.ndarray, mat: np.ndarray) -> None:
+            # un-splittable oversized bucket ((near-)identical vectors —
+            # a hyperplane can never separate them, and all-pairs would
+            # emit O(n²) rows of mutual dups): link members to the
+            # min-id representative with their EXACT cosine; the cluster
+            # closes through the representative, output stays O(n)
+            nonlocal n_stars
+            n_stars += 1
+            rep = min(range(len(ids)), key=lambda i: ids[i])  # id-dtype-safe
+            sims = mat @ mat[rep]
+            for i in np.nonzero(sims >= threshold)[0]:
+                if i == rep or ids[i] == ids[rep]:
+                    continue
+                a, b = sorted([ids[rep], ids[i]])
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(float(sims[i]))
 
         def emit(ids: np.ndarray, mat: np.ndarray, depth: int) -> None:
             nonlocal n_splits
             if len(ids) < 2:
                 return
             if len(ids) > bucket_cap:
+                if depth >= _MAX_SPLIT_DEPTH:
+                    star_emit(ids, mat)
+                    return
                 # recursive plane split: one extra seeded hyperplane per
                 # depth halves the bucket in expectation; ≥threshold
                 # pairs stay on one side w.p. 1 - arccos(t)/π
-                n_splits += 1
                 rng = np.random.default_rng((seed, depth, len(ids)))
                 plane = rng.standard_normal(mat.shape[1]).astype(np.float32)
                 side = (mat @ plane) > 0
+                if side.all() or not side.any():
+                    # no progress — identical(-direction) vectors; more
+                    # planes can't help and recursing would never bottom
+                    star_emit(ids, mat)
+                    return
+                n_splits += 1
                 emit(ids[side], mat[side], depth + 1)
                 emit(ids[~side], mat[~side], depth + 1)
                 return
@@ -674,6 +855,12 @@ def embedding_dedup_pairs(
             print(
                 f"[embedding_dedup] split {n_splits} oversized LSH buckets "
                 f"(> {bucket_cap} rows)",
+                flush=True,
+            )
+        if n_stars:
+            print(
+                f"[embedding_dedup] star-linked {n_stars} un-splittable "
+                f"oversized buckets through their min-id representative",
                 flush=True,
             )
         return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})

@@ -245,7 +245,7 @@ def ivf_topk(
         sims = qm @ mat.T
         if round_decimals is not None:
             sims = np.round(sims, round_decimals)
-        out = {"query_idx": [], "id": [], "cosine": []}
+        qis, cols = [], []
         for qi in range(len(qm)):
             mask = np.isin(assign, probes[qi])
             if not mask.any():
@@ -253,11 +253,22 @@ def ivf_topk(
             cand = np.where(mask)[0]
             kk = min(k, len(cand))
             top = cand[np.argpartition(-sims[qi, cand], kth=kk - 1)[:kk]]
-            for j in top:
-                out["query_idx"].append(qi)
-                out["id"].append(ids[j])
-                out["cosine"].append(float(sims[qi, j]))
-        return pd.DataFrame(out)
+            qis.append(np.full(kk, qi, dtype=np.int64))
+            cols.append(top)
+        if not qis:
+            return pd.DataFrame(
+                {"query_idx": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype=pd.Series(ids).dtype),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        # gather the (query, candidate) hits in one fancy-index pass —
+        # no per-candidate Python append
+        qv = np.concatenate(qis)
+        cv = np.concatenate(cols)
+        return pd.DataFrame(
+            {"query_idx": qv, "id": ids[cv],
+             "cosine": sims[qv, cv].astype(np.float64)}
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     partials = partials.sort_values(

@@ -251,6 +251,15 @@ def copartition_join(
     dict_cols = set(dict_columns or ())
 
     def tag(side: int, cols: list[str]):
+        # ship ONLY this side's declared columns: anything else in
+        # all_cols is null-filled even when the batch happens to carry
+        # it — under hash_keys a semi-join side whose key column is in
+        # the OTHER side's cols must not re-ship the key strings it
+        # claims to have dropped (the digest replaces them); join_part
+        # selects per-side columns anyway, so real values there would be
+        # pure exchange bytes
+        ship = set(cols)
+
         def fn(batch: pa.Table) -> pa.Table:
             if batch.schema.metadata:
                 batch = batch.replace_schema_metadata(None)
@@ -258,6 +267,16 @@ def copartition_join(
             if hash_keys:
                 import polars as pl
 
+                # NOTE null keys: the plain path's acero join never
+                # matches nulls (SQL semantics, documented in join_part);
+                # hash_rows would give all-null rows EQUAL digests on
+                # both sides and silently join them — assert the
+                # invariant instead of changing semantics by mode
+                for kc in keys:
+                    assert batch.column(kc).null_count == 0, (
+                        f"hash_keys join requires non-null keys; "
+                        f"column {kc!r} has nulls"
+                    )
                 kt = pl.from_arrow(batch.select(keys))
                 h1 = kt.hash_rows(seed=42).to_numpy()
                 h2 = kt.hash_rows(seed=0x517CC1B7).to_numpy()
@@ -268,7 +287,7 @@ def copartition_join(
                 part = _part_ids(batch, keys, num_parts)
             arrays: list[pa.ChunkedArray | pa.Array] = []
             for c in all_cols:
-                if c in batch.column_names:
+                if c in ship and c in batch.column_names:
                     col = batch.column(c)
                     # empty upstream blocks surface object columns as
                     # null type — cast to the declared type so empty

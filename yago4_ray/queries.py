@@ -153,7 +153,9 @@ def _partial_agg(ds, keys, aggs):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    final = parts.groupby(keys, as_index=False).agg(
+    # dropna=False: the per-batch Arrow group_by keeps a null-key group,
+    # so the final combine must too (pandas' default silently drops it)
+    final = parts.groupby(keys, as_index=False, dropna=False).agg(
         {
             out: ("sum" if fn in ("sum", "count") else fn)
             for out, fn in refold.items()
