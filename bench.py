@@ -101,20 +101,28 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # 1. ingest: partition the statement dump into the predicate store
+    # 1-3. the KG pipeline as its real DAG: extraction depends only on
+    # the corpus + dictionary — never on the statement store — so it
+    # runs CONCURRENTLY with the ingest → kg_build chain (two Dataset
+    # jobs share the session; Ray's scheduler interleaves their tasks).
+    # The timed stage is the DAG's wall (both legs done); per-leg walls
+    # land in stage_detail for round-over-round comparison (they are
+    # measured UNDER the overlap, so they include contention — the
+    # honest number for each leg inside the pipeline).
     store = f"/tmp/yago4_bench_store_{os.getpid()}"
     shutil.rmtree(store, ignore_errors=True)
+    stage_detail: dict[str, float] = {}
+
+    def leg(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stage_detail[name] = round(time.perf_counter() - t0, 3)
+        return out
 
     def ingest():
         ds = ray.data.read_parquet(os.path.join(corpus_dir, "statements.parquet"))
         write_statement_store(ds, store)
 
-    timed("ingest_partition", ingest)
-    throughput["ingest_statements_per_s"] = round(
-        n_statements / timings["ingest_partition"], 1
-    )
-
-    # 2. extraction: docs → linked statements (actor pool)
     dictionary = pq.read_table(os.path.join(corpus_dir, "qid_dictionary.parquet"))
 
     def extract():
@@ -124,8 +132,39 @@ def run_bench() -> dict:
         )
         return statements.count()
 
-    n_extracted = timed("extract", extract)
-    throughput["extract_docs_per_s"] = round(n_docs / timings["extract"], 1)
+    def build():
+        from yago4_ray.build import OUTPUT_FILE_NAMES
+        from yago4_ray.checkpoint import read_manifest
+
+        state = build_state(store)
+        out_dir = store + "_out"
+        generate_yago(store, state=state, out_dir=out_dir, write=True)
+        # end-to-end: sorted, deduped, gzipped partitions on disk
+        return sum(
+            (read_manifest(os.path.join(out_dir, name)) or {}).get("num_rows", 0)
+            for name in OUTPUT_FILE_NAMES.values()
+        )
+
+    import concurrent.futures as _cf
+
+    def kg_pipeline():
+        with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+            f_extract = pool.submit(leg, "extract", extract)
+            leg("ingest_partition", ingest)
+            n_triples = leg("kg_build", build)
+            n_extracted = f_extract.result()
+        return n_triples, n_extracted
+
+    n_triples, n_extracted = timed("kg_pipeline", kg_pipeline)
+    throughput["ingest_statements_per_s"] = round(
+        n_statements / stage_detail["ingest_partition"], 1
+    )
+    throughput["extract_docs_per_s"] = round(
+        n_docs / stage_detail["extract"], 1
+    )
+    throughput["build_triples_per_s"] = round(
+        n_triples / stage_detail["kg_build"], 1
+    )
 
     # 2b. Lance ingest: the input_hint's corpus format. The .lance
     # dataset is materialized once per corpus (untimed, cached —
@@ -187,23 +226,6 @@ def run_bench() -> dict:
 
         timed("lance_append_tt", lance_append_tt)
 
-    # 3. the KG build (state + all outputs consumed)
-    def build():
-        from yago4_ray.build import OUTPUT_FILE_NAMES
-        from yago4_ray.checkpoint import read_manifest
-
-        state = build_state(store)
-        out_dir = store + "_out"
-        generate_yago(store, state=state, out_dir=out_dir, write=True)
-        # end-to-end: sorted, deduped, gzipped partitions on disk
-        return sum(
-            (read_manifest(os.path.join(out_dir, name)) or {}).get("num_rows", 0)
-            for name in OUTPUT_FILE_NAMES.values()
-        )
-
-    n_triples = timed("kg_build", build)
-    throughput["build_triples_per_s"] = round(n_triples / timings["kg_build"], 1)
-
     # --kg-only: stop after the KG pipeline — the mode the large-data
     # scaling runs use (the query/dataops stages below run over the
     # FIXED-size $GRAFT_SF_DIR tables and would dilute a
@@ -226,6 +248,9 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-leg walls of the overlapped kg_pipeline stage, measured
+        # under the overlap (informational — NOT summed into value)
+        "stage_detail": stage_detail,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "throughput": throughput,
@@ -273,6 +298,10 @@ def run_scaling() -> dict:
         best["queries"] = {
             k: min(r["queries"][k] for r in runs) for k in best["queries"]
         }
+        best["stage_detail"] = {
+            k: min(r.get("stage_detail", {}).get(k, v) for r in runs)
+            for k, v in best.get("stage_detail", {}).items()
+        }
         best["value"] = round(sum(best["queries"].values()), 3)
         best["throughput"] = {
             k: max(r["throughput"][k] for r in runs) for k in best["throughput"]
@@ -290,6 +319,8 @@ def run_scaling() -> dict:
         "sec_32": hi["value"],
         "queries_8": lo["queries"],
         "queries_32": hi["queries"],
+        "stage_detail_8": lo.get("stage_detail", {}),
+        "stage_detail_32": hi.get("stage_detail", {}),
         "throughput_8": lo["throughput"],
         "throughput_32": hi["throughput"],
         "scaling_efficiency": round(eff, 3),

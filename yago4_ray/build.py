@@ -764,14 +764,24 @@ def build_facts(
                 f_clean = pre.get("clean_maps") or _pool.submit(
                     build_clean_hmms, root, state, state.stats
                 )
-            f_rank = pre.get("best_rank") or _pool.submit(
-                best_rank_hashed_set, root
-            )
+            if "best_rank_ref" in pre:
+                f_rank = None  # remote-packed by the fused state scan
+            else:
+                f_rank = pre.get("best_rank") or _pool.submit(
+                    best_rank_hashed_set, root
+                )
             f_uri = _pool.submit(state.packed_ref, "uri_mapping")
             f_si = _pool.submit(state.packed_ref, "shape_instances")
             refs = {"uri_mapping": f_uri.result()}
             refs["shape_instances"] = f_si.result()
-            refs["best_rank"] = ray.put(f_rank.result())
+            if f_rank is None:
+                set_ref, ok_ref = pre["best_rank_ref"]
+                if ray.get(ok_ref):  # tiny bool; the pack resolved long ago
+                    refs["best_rank"] = set_ref
+                else:  # 64-bit collision: rebuild from the id strings
+                    refs["best_rank"] = ray.put(best_rank_hashed_set(root))
+            else:
+                refs["best_rank"] = ray.put(f_rank.result())
             if f_clean is not None:
                 refs["clean_maps"] = ray.put(f_clean.result())
             else:

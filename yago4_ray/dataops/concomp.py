@@ -145,36 +145,37 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
 
 
 def _cc_union_find(tbl: pa.Table, id_type: pa.DataType) -> pa.Table:
-    """Min-label components of one in-memory oriented edge table via
-    union-find (path-halving + union-by-min). numpy factorization keeps
-    the loop over int indices; np.unique's ascending order makes
-    'minimum node' identical to the star rounds' Arrow `<` (both are
-    bytewise for UTF-8 strings)."""
+    """Min-label components of one in-memory oriented edge table,
+    vectorized (Shiloach–Vishkin-style hook + pointer-jumping — no
+    per-edge Python loop; O(E log V) numpy element ops). numpy
+    factorization keeps the work over int indices; np.unique's
+    ascending order makes 'minimum node' identical to the star rounds'
+    Arrow `<` (both are bytewise for UTF-8 strings)."""
     a = tbl["a"].to_numpy(zero_copy_only=False)
     b = tbl["b"].to_numpy(zero_copy_only=False)
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ea, eb = inv[: len(a)], inv[len(a):]
     parent = np.arange(len(nodes), dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for i, j in zip(ea, eb):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            # union by MIN index: the root is always the smallest node
-            if ri < rj:
-                parent[rj] = ri
-            else:
-                parent[ri] = rj
-    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    while True:
+        prev = parent.copy()
+        # hook: each edge pulls the larger endpoint-root toward the
+        # smaller (elementwise minima; duplicates fold via minimum.at)
+        ra, rb = parent[ea], parent[eb]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        np.minimum.at(parent, hi, lo)
+        # shortcut: pointer-jump until the forest is flat
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, prev):
+            break
     return pa.table(
         {
             "a": pa.array(nodes, id_type, from_pandas=True),
-            "b": pa.array(nodes[roots], id_type, from_pandas=True),
+            "b": pa.array(nodes[parent], id_type, from_pandas=True),
         }
     )
 

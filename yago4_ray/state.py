@@ -503,6 +503,34 @@ def _merge_uri_shard(schema_tbl, mandatory_tbl, shard: int, *blocks):
     return merge_uri_candidates_arrow(cand).sort_by([("h", "ascending")])
 
 
+@ray.remote(num_cpus=1)
+def _pack_best_rank(*blocks):
+    """Pack the BestRank statement-id hashes into a broadcastable
+    HashedSet OFF the driver (same discipline as `_assemble_uri`): the
+    unified-scan blocks carry the 8-byte hashes (kind=_K_BESTRANK), so
+    the ~n/3-row sort + dedup runs in one task and build_facts consumes
+    the ObjectRef straight from the object store. Returns
+    (HashedSet | None, collision_free) — callers ray.get only the tiny
+    flag; on the (never-observed) 64-bit collision they rebuild from
+    the statement strings (best_rank_hashed_set)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .broadcast import HashedSet
+
+    hs = []
+    for b in blocks:
+        if not isinstance(b, pa.Table):  # defensive: blocks ride AS STORED
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        sel = b.filter(pc.equal(b.column("kind"), _K_BESTRANK))
+        hs.append(sel.column("h").to_numpy(zero_copy_only=False))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    try:
+        return HashedSet.from_prehashed(h, len(h)), True
+    except ValueError:  # distinct statement ids sharing a 64-bit hash
+        return None, False
+
+
 @ray.remote(num_returns=2)
 def _assemble_uri(*shard_tbls):
     """Concat the hash-range merge shards (globally h-sorted by
@@ -917,6 +945,14 @@ def collect_input_reductions(
     uri_packed, uri_tbl_ref = _assemble_uri.remote(*shard_refs)
     if on_uri_ref is not None:
         on_uri_ref(uri_packed)
+    # best-rank membership packs REMOTELY too (same discipline as the
+    # URI merge): ~n/3 statement-id hashes never sort on the driver and
+    # the packed set is consumed by build_facts straight from the object
+    # store (the driver used to sort, hold AND re-ray.put them — a flat
+    # ~0.5 s at every CPU width)
+    rank_set_ref, rank_ok_ref = _pack_best_rank.options(num_returns=2).remote(
+        *block_refs
+    )
 
     tbl = pa.concat_tables(ray.get(block_refs), promote_options="permissive")
     _mark("collect (ray.get+concat)")
@@ -930,17 +966,6 @@ def collect_input_reductions(
     # kernels release the GIL) while the MAIN thread does the URI
     # candidate prep + priority merge, the serial critical path
     import concurrent.futures as _icf
-
-    def _best_rank():
-        from .broadcast import HashedSet
-
-        br_h = part(_K_BESTRANK)["h"].to_numpy()
-        try:
-            return HashedSet.from_prehashed(br_h, len(br_h))
-        except ValueError:  # 64-bit collision: rebuild from the strings
-            from .build import best_rank_statements
-
-            return HashedSet(best_rank_statements(root))
 
     def _enwiki():
         etbl = part(_K_ENWIKI)
@@ -964,7 +989,6 @@ def collect_input_reductions(
         return dict(zip(csum["item"].to_pylist(), csum["n_sum"].to_pylist()))
 
     _side_pool = _icf.ThreadPoolExecutor(max_workers=4)
-    f_rank = _side_pool.submit(_best_rank)
     f_enwiki = _side_pool.submit(_enwiki)
     f_p279 = _side_pool.submit(_p279)
     f_counts = _side_pool.submit(_counts)
@@ -979,7 +1003,6 @@ def collect_input_reductions(
     enwiki_mapping, enwiki_ds = f_enwiki.result()
     p279_edges = f_p279.result()
     instance_counts = f_counts.result()
-    best_rank = f_rank.result()
     _side_pool.shutdown(wait=False)
     _mark("side-reductions")
     stats.set_global("Total URI mapping size", len(uri_mapping))
@@ -990,7 +1013,7 @@ def collect_input_reductions(
         enwiki_ds,
         p279_edges,
         instance_counts,
-        best_rank,
+        (rank_set_ref, rank_ok_ref),
         uri_packed,
     )
 
@@ -1460,18 +1483,17 @@ def build_state(
             enwiki_ds,
             p279_edges,
             instance_counts,
-            best_rank,
+            best_rank_refs,
             uri_packed,
         ) = collect_input_reductions(
             statements_root, schema, stats, size, on_uri_ref=_launch_clean
         )
-        # BestRank came out of the same fused scan (a resolved future
-        # keeps build_facts' consumption code uniform)
-        _f_rank: _cf.Future = _cf.Future()
-        _f_rank.set_result(best_rank)
         prewarmed = {
             "clean_maps_ref": _pre["clean_maps_ref"],
-            "best_rank": _f_rank,
+            # BestRank packed REMOTELY out of the same fused scan:
+            # (HashedSet ref, collision-free-flag ref) — build_facts
+            # broadcasts the set ref directly, no driver materialization
+            "best_rank_ref": best_rank_refs,
         }
         _pre_pool.shutdown(wait=False)
     else:
