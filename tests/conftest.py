@@ -37,6 +37,13 @@ def ray_session():
     _joins._BROADCAST_CACHE.clear()
     _queries._KG_CACHE.clear()
     gc.collect()
+    # let the async ReleaseObject RPCs the collect just triggered drain
+    # before shutdown: a release in flight when the core worker tears
+    # down aborts the interpreter with a bare exit(1) AFTER the test
+    # summary (intermittent; join-dense sessions emit many refs)
+    import time
+
+    time.sleep(1.0)
     ray.shutdown()
 
 

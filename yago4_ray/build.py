@@ -736,14 +736,28 @@ def build_facts(
     if state.distributed:
         # the 10^12-doc path: every broadcast below becomes a hash join
         # against the state Datasets (build_dist module docstring)
-        from .build_dist import object_side_dist, subject_side_dist
+        import concurrent.futures as _icf
+
+        from .build_dist import object_side_dist, si_by_item, subject_side_dist
 
         refs = None
-        clean_ds = build_clean_values_ds(root, state).materialize()
-        subjects = subject_side_dist(root, configs, state, num_partitions)
+        # clean-value scan and the si_by_item state pre-join are
+        # independent — materialize them concurrently, both OFF the
+        # facts chain's critical path (PERF_NOTES #39: every barrier
+        # removed from the chain is a fixed all-to-all latency saved)
+        with _icf.ThreadPoolExecutor(max_workers=2) as _sp:
+            f_clean = _sp.submit(
+                lambda: build_clean_values_ds(root, state).materialize()
+            )
+            f_si = _sp.submit(lambda: si_by_item(state).materialize())
+            clean_ds = f_clean.result()
+            si_item_ds = f_si.result()
+        subjects = subject_side_dist(
+            root, configs, state, num_partitions, si_item=si_item_ds
+        )
         objects = object_side_dist(
             root, configs, state, clean_ds, T.PS_PREFIX, T.PSV_PREFIX,
-            num_partitions,
+            num_partitions, si_item=si_item_ds,
         )
     else:
         # the four broadcast-state builds are independent: the two

@@ -58,14 +58,41 @@ def _empty(columns: list[str]) -> Dataset:
     return ray.data.from_pandas(pd.DataFrame({c: [] for c in columns}).astype(str))
 
 
+def si_by_item(state) -> Dataset:
+    """(item, instance, shape): shape_instances pre-joined with the URI
+    mapping ONCE, keyed by wd item — statement paths then attach the
+    uri AND its shape memberships in a SINGLE item-keyed exchange
+    instead of two (uri join, then (shape, instance) semi-join). One
+    state-side exchange replaces one per consumer chain, and it runs
+    OFF the facts chain's critical path (build_facts materializes it
+    concurrently with the clean-value scan). PERF_NOTES #39's barrier
+    arithmetic: each removed barrier is a fixed-latency all-to-all."""
+    uri_items = state.datasets["uri_mapping"].map_batches(
+        lambda b: pd.DataFrame({"instance": b["uri"], "item": b["item"]}),
+        batch_format="pandas",
+    )
+    return copartition_join(
+        state.datasets["shape_instances"], uri_items, "instance",
+        ["shape", "instance"], ["item"],
+        hash_keys=True,
+    )
+
+
 def subject_side_dist(
     root: str,
     configs: list,
     state,
     num_partitions: int | None = None,
+    si_item: Dataset | None = None,
 ) -> Dataset:
-    """(cfg, statement, subject) via three co-partitioned joins instead
-    of three broadcast lookups (cf. build._subject_side)."""
+    """(cfg, statement, subject) via TWO co-partitioned joins instead of
+    three broadcast lookups (cf. build._subject_side): the best-rank
+    semi-join (statement-keyed), then ONE item-keyed join against the
+    pre-joined `si_by_item` state — which attaches the mapped uri AND
+    its shape memberships together, so the former uri join and
+    (shape, instance) semi-join collapse into one barrier. The fan step
+    then keeps (cfg, statement, uri) exactly when the uri belongs to
+    the cfg's parent shape — the same predicate the semi-join enforced."""
     del num_partitions  # task-based joins size by num_parts default
     pid_to_cfgs: dict[str, list] = {}
     for cfg in configs:
@@ -92,16 +119,18 @@ def subject_side_dist(
     # through the exchange instead of the ~40-55 B item/statement/IRI
     # strings (collision bound 2^-128 per copartition_join's docstring;
     # identity vs the broadcast path is pytest-gated). Semi-join sides
-    # ship NO payload at all; `item` stops transiting once the uri is
-    # attached.
+    # ship NO payload at all; `item` stops transiting once the state
+    # row is attached.
     rows = copartition_join(
         rows, best_rank_ds(root), "statement",
         ["pid", "item", "statement"], [],
         hash_keys=True,
     )
+    if si_item is None:
+        si_item = si_by_item(state).materialize()
     rows = copartition_join(
-        rows, state.datasets["uri_mapping"], "item",
-        ["pid", "statement"], ["uri"],
+        rows, si_item, "item",
+        ["pid", "statement"], ["shape", "instance"],
         hash_keys=True,
     )
 
@@ -112,36 +141,25 @@ def subject_side_dist(
 
     def fan(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for pid, group in batch.groupby("pid", sort=False):
+        for (pid, shape), group in batch.groupby(["pid", "shape"], sort=False):
             for cfg_id, parent in fan_meta.get(pid, ()):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "cfg": cfg_id,
-                            "shape": parent,
-                            "statement": group["statement"],
-                            "instance": group["uri"],
-                        }
+                if parent == shape:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "cfg": cfg_id,
+                                "statement": group["statement"],
+                                "subject": group["instance"],
+                            }
+                        )
                     )
-                )
         if not outs:
             return pd.DataFrame(
-                {"cfg": [], "shape": [], "statement": [], "instance": []}
+                {"cfg": [], "statement": [], "subject": []}
             ).astype(str)
         return pd.concat(outs, ignore_index=True)
 
-    fanned = rows.map_batches(fan, batch_format="pandas")
-    joined = copartition_join(
-        fanned, state.datasets["shape_instances"], ("shape", "instance"),
-        ["cfg", "statement", "instance"], [],
-        hash_keys=True,
-    )
-    return joined.map_batches(
-        lambda b: pd.DataFrame(
-            {"cfg": b["cfg"], "statement": b["statement"], "subject": b["instance"]}
-        ),
-        batch_format="pandas",
-    )
+    return rows.map_batches(fan, batch_format="pandas")
 
 
 _CLEAN_FAMILY = {
@@ -160,10 +178,13 @@ def object_side_dist(
     simple_prefix: str,
     complex_prefix: str,
     num_partitions: int | None = None,
+    si_item: Dataset | None = None,
 ) -> Dataset:
     """(cfg, statement, object, extras): stateless modes per-batch,
-    range modes via uri/instance joins, complex-value modes via a join
-    against the clean-value Dataset (cf. build._object_side)."""
+    range modes via ONE item-keyed join against the pre-joined
+    `si_by_item` state (uri + shape membership in one exchange — see
+    subject_side_dist), complex-value modes via a join against the
+    clean-value Dataset (cf. build._object_side)."""
     del num_partitions
     from .build import _object_side  # stateless dispatch reuse
 
@@ -204,50 +225,39 @@ def object_side_dist(
             return pd.concat(outs, ignore_index=True)
 
         rows = ds.map_batches(base, batch_format="pandas")
-        rows = copartition_join(
-            rows, state.datasets["uri_mapping"], "item",
-            ["cfg", "statement"], ["uri"],
+        if si_item is None:
+            si_item = si_by_item(state).materialize()
+        joined = copartition_join(
+            rows, si_item, "item",
+            ["cfg", "statement"], ["shape", "instance"],
             hash_keys=True,
         )
-        range_meta = {c.cfg_id: c.range_classes for c in ranges}
+        range_meta = {c.cfg_id: frozenset(c.range_classes) for c in ranges}
+        rng_ref = ray.put(range_meta)
 
-        def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        def keep_in_range(batch: pd.DataFrame) -> pd.DataFrame:
+            meta = get_broadcast(rng_ref)
             outs = []
             for cfg_id, group in batch.groupby("cfg", sort=False):
-                for cls in range_meta.get(cfg_id, ()):
+                sel = group[group["shape"].isin(meta.get(cfg_id, ()))]
+                if len(sel):
                     outs.append(
                         pd.DataFrame(
                             {
                                 "cfg": cfg_id,
-                                "statement": group["statement"],
-                                "shape": cls,
-                                "instance": group["uri"],
+                                "statement": sel["statement"],
+                                "object": sel["instance"],
+                                "extras": "",
                             }
                         )
                     )
             if not outs:
                 return pd.DataFrame(
-                    {"cfg": [], "statement": [], "shape": [], "instance": []}
+                    {"cfg": [], "statement": [], "object": [], "extras": []}
                 ).astype(str)
             return pd.concat(outs, ignore_index=True)
 
-        fanned = rows.map_batches(explode, batch_format="pandas")
-        joined = copartition_join(
-            fanned, state.datasets["shape_instances"], ("shape", "instance"),
-            ["cfg", "statement", "instance"], [],
-            hash_keys=True,
-        )
-        out = joined.map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "cfg": b["cfg"],
-                    "statement": b["statement"],
-                    "object": b["instance"],
-                    "extras": "",
-                }
-            ),
-            batch_format="pandas",
-        )
+        out = joined.map_batches(keep_in_range, batch_format="pandas")
         # an sh:or range (Person|Organization) can match through BOTH
         # instance sets → dedup only when any cfg fans to >1 class
         if any(len(v) > 1 for v in range_meta.values()):

@@ -291,9 +291,16 @@ def copartition_join(
                     col = batch.column(c)
                     # empty upstream blocks surface object columns as
                     # null type — cast to the declared type so empty
-                    # and non-empty blocks share one schema
+                    # and non-empty blocks share one schema; large_string
+                    # (concat artifacts, e.g. the remote URI merge) is
+                    # normalized to string for the same reason (a
+                    # per-side schema variant defeats the shuffle's
+                    # schema dedup and trips Ray's union warning)
                     want = types.get(c)
-                    if pa.types.is_null(col.type) and want is None:
+                    if want is None and (
+                        pa.types.is_null(col.type)
+                        or pa.types.is_large_string(col.type)
+                    ):
                         want = pa.string()
                     if want is not None and col.type != want:
                         col = col.cast(want)

@@ -354,16 +354,28 @@ def q7_hourly_user_activity(sf_dir: str):
 
     from .joins import partitioned_group_apply
 
-    def agg_part(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.groupby(["user_id", "epoch_hour"], as_index=False).agg(
+    # combiner BEFORE the shuffle: per-batch partials collapse ~100
+    # event rows per (user, hour) group to one — the exchange ships
+    # blocks × groups partial rows instead of every event (the same
+    # decomposable-aggregate discipline as _partial_agg, kept
+    # distributed here because the group count is high)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "epoch_hour"], as_index=False).agg(
             n_events=("value_cents", "size"),
             sum_value_cents=("value_cents", "sum"),
+        )
+
+    def reduce_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(["user_id", "epoch_hour"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_cents=("sum_value_cents", "sum"),
         )
 
     return partitioned_group_apply(
         ds.map_batches(prep, batch_format="pandas"),
         ["user_id", "epoch_hour"],
-        agg_part,
+        reduce_part,
+        combine=partial,
     )
 
 

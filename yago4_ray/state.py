@@ -765,6 +765,7 @@ def collect_input_reductions(
     stats: Stats,
     size: str = "full",
     on_uri_ref=None,
+    pack_best_rank: bool = True,
 ):
     """Every driver-scale input reduction in ONE store scan: URI-mapping
     candidates (markers + wiki + label), enwiki sitelink pairs, P279
@@ -949,10 +950,13 @@ def collect_input_reductions(
     # URI merge): ~n/3 statement-id hashes never sort on the driver and
     # the packed set is consumed by build_facts straight from the object
     # store (the driver used to sort, hold AND re-ray.put them — a flat
-    # ~0.5 s at every CPU width)
-    rank_set_ref, rank_ok_ref = _pack_best_rank.options(num_returns=2).remote(
-        *block_refs
-    )
+    # ~0.5 s at every CPU width). The distributed-state path joins
+    # against best_rank_ds instead and skips the pack.
+    rank_set_ref = rank_ok_ref = None
+    if pack_best_rank:
+        rank_set_ref, rank_ok_ref = _pack_best_rank.options(
+            num_returns=2
+        ).remote(*block_refs)
 
     tbl = pa.concat_tables(ray.get(block_refs), promote_options="permissive")
     _mark("collect (ray.get+concat)")
@@ -1497,22 +1501,30 @@ def build_state(
         }
         _pre_pool.shutdown(wait=False)
     else:
-        # distributed state: the URI merge is a shuffle groupby, not a
-        # driver merge — keep the reductions as separate concurrent jobs
-        # (the reference overlaps its state builds with threads too,
-        # plan.rs:908-1032)
-        with _cf.ThreadPoolExecutor(max_workers=4) as pool:
-            f_enwiki = pool.submit(build_enwiki_mapping, statements_root)
-            f_uri = pool.submit(
-                build_uri_mapping, statements_root, schema, stats, size,
-                "distributed",
-            )
-            f_p279 = pool.submit(collect_p279_edges, statements_root)
-            f_counts = pool.submit(collect_instance_counts, statements_root)
-            enwiki_mapping, enwiki_ds = f_enwiki.result()
-            uri_mapping, uri_ds = f_uri.result()
-            p279_edges = f_p279.result()
-            instance_counts = f_counts.result()
+        # distributed state shares the SAME fused input scan (measured
+        # 14.8 s as four concurrent scan jobs vs ~4 s fused at 44 M /
+        # 32 CPUs — the scans contend for the same partitions). What
+        # stays different at scale is the statement-path JOINS
+        # (build_dist joins against uri_ds / shape-instance Datasets
+        # instead of broadcasts); the input reductions themselves
+        # (class graph, enwiki map, URI merge shards) are class-graph /
+        # hash-range-sharded either way. No clean-scan hook (build_dist
+        # consumes the clean VALUES Dataset, not the packed maps) and
+        # no best-rank pack (it joins best_rank_ds).
+        (
+            uri_mapping,
+            uri_ds,
+            enwiki_mapping,
+            enwiki_ds,
+            p279_edges,
+            instance_counts,
+            _rank_unused,
+            uri_packed_dist,
+        ) = collect_input_reductions(
+            statements_root, schema, stats, size, pack_best_rank=False
+        )
+        uri_packed = None  # build_facts' broadcast refs are unused here
+        del uri_packed_dist
     _mark("input-reductions (enwiki+uri+p279+counts)")
     stats.set_global(
         "Wikidata items mapped to English Wikipedia articles", len(enwiki_mapping)
