@@ -58,6 +58,27 @@ def _empty(columns: list[str]) -> Dataset:
     return ray.data.from_pandas(pd.DataFrame({c: [] for c in columns}).astype(str))
 
 
+_SI_LOCK = None
+
+
+def si_by_item_cached(state) -> Dataset:
+    """Materialized `si_by_item`, built once per BuildState and shared
+    by every distributed pipeline (subject/object sides, labels,
+    full-types, sameAs). Lock-guarded: generate_yago builds the facts
+    chain on a thread while the scan outputs build on the main one."""
+    global _SI_LOCK
+    import threading
+
+    if _SI_LOCK is None:
+        _SI_LOCK = threading.Lock()
+    with _SI_LOCK:
+        ds = state.datasets.get("si_by_item")
+        if ds is None:
+            ds = si_by_item(state).materialize()
+            state.datasets["si_by_item"] = ds
+        return ds
+
+
 def si_by_item(state) -> Dataset:
     """(item, instance, shape): shape_instances pre-joined with the URI
     mapping ONCE, keyed by wd item — statement paths then attach the
@@ -376,7 +397,7 @@ def labels_dist(
                         pd.DataFrame(
                             {
                                 "path": path,
-                                "shape": parent,
+                                "parent": parent,
                                 "item": sel["subject"],
                                 "object": sel["object"],
                             }
@@ -384,67 +405,50 @@ def labels_dist(
                     )
         if not outs:
             return pd.DataFrame(
-                {"path": [], "shape": [], "item": [], "object": []}
+                {"path": [], "parent": [], "item": [], "object": []}
             ).astype(str)
         return pd.concat(outs, ignore_index=True)
 
+    # ONE item-keyed join against the pre-joined si_by_item state: the
+    # uri and its shape memberships arrive together; keeping rows where
+    # the attached shape equals the label's parent shape IS the former
+    # (shape, instance) semi-join
     rows = ds.map_batches(base, batch_format="pandas")
-    rows = copartition_join(
-        rows, state.datasets["uri_mapping"], "item",
-        ["path", "shape", "object"], ["uri"],
-        hash_keys=True,
-    )
-    rows = rows.map_batches(
-        lambda b: b.rename(columns={"uri": "instance"})[
-            ["path", "shape", "instance", "object"]
-        ],
-        batch_format="pandas",
-    )
     joined = copartition_join(
-        rows, state.datasets["shape_instances"], ("shape", "instance"),
-        ["path", "instance", "object"], [],
+        rows, si_by_item_cached(state), "item",
+        ["path", "parent", "object"], ["shape", "instance"],
         hash_keys=True,
     )
-    return joined.map_batches(
-        lambda b: pd.DataFrame(
-            {"subject": b["instance"], "predicate": b["path"], "object": b["object"]}
-        ),
-        batch_format="pandas",
-    )
 
+    def keep_parent(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["shape"] == b["parent"]]
+        return pd.DataFrame(
+            {"subject": sel["instance"], "predicate": sel["path"],
+             "object": sel["object"]}
+        )
 
-def things_ds(state) -> Dataset:
-    """(instance) rows of schema:Thing — the semi-join side for
-    full-types / sameAs."""
-    thing = T.SCHEMA_THING
-    return state.datasets["shape_instances"].map_batches(
-        lambda b: pd.DataFrame({"instance": b[b["shape"] == thing]["instance"]}),
-        batch_format="pandas",
-    )
+    return joined.map_batches(keep_parent, batch_format="pandas")
 
 
 def full_types_dist(root: str, state) -> Dataset:
-    """P31 scan ⨝ uri_mapping ⨝ Thing instances → class-map fan-out
-    (the class mapping is class-graph scale → broadcast)."""
+    """P31 scan ⨝ si_by_item (ONE item-keyed exchange: uri + shape
+    memberships together; keeping shape == schema:Thing IS the former
+    Thing-instance semi-join) → class-map fan-out (the class mapping is
+    class-graph scale → broadcast)."""
     class_ref = ray.put(state.wd_to_yago_class_mapping)
+    thing = T.SCHEMA_THING
     p31 = scan_predicate(root, f"<{T.WDT}P31>")
     rows = p31.map_batches(
         lambda b: pd.DataFrame({"item": b["subject"], "wd_class": b["object"]}),
         batch_format="pandas",
     )
     rows = copartition_join(
-        rows, state.datasets["uri_mapping"], "item",
-        ["wd_class"], ["uri"],
+        rows, si_by_item_cached(state), "item",
+        ["wd_class"], ["shape", "instance"],
         hash_keys=True,
-    )
-    rows = rows.map_batches(
-        lambda b: b.rename(columns={"uri": "instance"})[["instance", "wd_class"]],
+    ).map_batches(
+        lambda b: b[b["shape"] == thing][["instance", "wd_class"]],
         batch_format="pandas",
-    )
-    rows = copartition_join(
-        rows, things_ds(state), "instance",
-        ["instance", "wd_class"], [],
-        hash_keys=True,
     )
 
     def fan(batch: pd.DataFrame) -> pd.DataFrame:
@@ -521,48 +525,40 @@ def same_as_dist(root: str, state) -> Dataset:
         wp_base, batch_format="pandas"
     )
 
+    # ONE item-keyed exchange against si_by_item replaces the uri join
+    # AND the Thing-instance semi-join (keep shape == schema:Thing)
+    thing = T.SCHEMA_THING
+    si_item = si_by_item_cached(state)
     mapped = copartition_join(
         enwiki_rows.union(fb_rows, wp_rows),
-        state.datasets["uri_mapping"],
+        si_item,
         "item",
         ["predicate", "object"],
-        ["uri"],
+        ["shape", "instance"],
         hash_keys=True,
     ).map_batches(
-        lambda b: pd.DataFrame(
+        lambda b: (lambda sel: pd.DataFrame(
             {
-                "instance": b["uri"],
-                "predicate": b["predicate"],
-                "object": b["object"],
+                "subject": sel["instance"],
+                "predicate": sel["predicate"],
+                "object": sel["object"],
             }
-        ),
+        ))(b[b["shape"] == thing]),
         batch_format="pandas",
     )
 
-    # wd identity links come straight off the uri mapping Dataset
-    wd_rows = state.datasets["uri_mapping"].map_batches(
-        lambda b: pd.DataFrame(
+    # wd identity links come straight off si_by_item's Thing rows —
+    # (item, uri) pairs already restricted to Thing instances, so this
+    # family needs NO exchange at all (was: uri scan + Thing semi-join)
+    wd_rows = si_item.map_batches(
+        lambda b: (lambda sel: pd.DataFrame(
             {
-                "instance": b["uri"],
+                "subject": sel["instance"],
                 "predicate": T.OWL_SAME_AS,
-                "object": b["item"],
+                "object": sel["item"],
             }
-        ),
+        ))(b[b["shape"] == thing]),
         batch_format="pandas",
     )
 
-    joined = copartition_join(
-        wd_rows.union(mapped), things_ds(state), "instance",
-        ["instance", "predicate", "object"], [],
-        hash_keys=True,
-    )
-    return joined.map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "subject": b["instance"],
-                "predicate": b["predicate"],
-                "object": b["object"],
-            }
-        ),
-        batch_format="pandas",
-    )
+    return wd_rows.union(mapped)
