@@ -2,8 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
-   "throughput": {...rows/s...}}
+   "queries": {...per-stage sec...}, "stage_detail": {...}, "sf": ...,
+   "num_cpus": N, "throughput": {...rows/s...}}
+
+The KG pipeline is timed as its real DAG ("kg_pipeline"): ingest, then
+kg_build with extraction overlapped under it (extract's only inputs
+are the corpus + dictionary). Per-leg walls — measured UNDER the
+overlap — are reported in stage_detail and are NOT summed into value.
 
 --scaling: runs the same bench in two fresh processes
 (RAY_GRAFT_CPUS=8 and =32) on the same input and reports both
