@@ -37,12 +37,23 @@ def run_bench() -> dict:
     import ray
     import ray.data
 
+    # size the plasma store to half of RAM (Ray's own recommendation —
+    # it warns below 50%): the default ~30% store made the 176 M-row
+    # ingest all-to-all fallback-allocate + spill ~60 GB to the single
+    # /tmp disk and die OutOfDisk; tmpfs pages are allocated lazily so
+    # a larger cap costs nothing at small sizes. Override with
+    # RAY_GRAFT_OBJECT_STORE_BYTES.
+    _total_ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    _store = int(
+        os.environ.get("RAY_GRAFT_OBJECT_STORE_BYTES", 0)
+    ) or int(_total_ram * 0.5)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        object_store_memory=_store,
     )
     from ray.data import DataContext
 
