@@ -208,6 +208,7 @@ def minhash_lsh_pairs(
     concurrency: int | tuple[int, int] = (2, 16),
     bucket_cap: int = 1000,
     keep_bucket_stats: bool = False,
+    dedup_pairs: bool = True,
 ) -> Dataset:
     """Candidate near-duplicate pairs (a, b) with a < b, deduplicated.
     shingle→minhash→band rows→groupby(band)→within-band pairs.
@@ -272,7 +273,16 @@ def minhash_lsh_pairs(
     pairs = partitioned_group_apply(banded, ["band", "bh"], pairs_in_part)
     # dedupe pairs found in multiple bands (keep the max oversized flag
     # so a star edge is never silently relabelled as a verified-complete
-    # pair by a duplicate from a healthy band)
+    # pair by a duplicate from a healthy band). `dedup_pairs=False`
+    # ELIDES this exchange — one full all-to-all over the candidate
+    # pair set — for consumers whose downstream is idempotent per pair
+    # (minhash_dedup: verify is per-pair and connected components
+    # tolerate duplicate edges); a pair then appears at most once per
+    # band (≤ `bands` times total).
+    if not dedup_pairs:
+        if keep_bucket_stats:
+            return pairs
+        return pairs.drop_columns(["oversized"])
     deduped = partitioned_group_apply(
         pairs,
         ["a", "b"],
@@ -362,8 +372,14 @@ def minhash_dedup(
 
     k = kwargs.get("shingle_k", 5)
     broadcast_cap = kwargs.pop("broadcast_verify_cap", 32 << 20)
+    # dedup_pairs=False: the cross-band pair dedup is one full
+    # all-to-all over the candidate set, and everything downstream here
+    # is idempotent per pair (per-pair verify; connected components
+    # tolerate duplicate edges) — a pair just verifies once per
+    # colliding band (≤ bands times) instead of once
     pairs = minhash_lsh_pairs(
-        ds, text_col, id_col, keep_bucket_stats=True, **kwargs
+        ds, text_col, id_col, keep_bucket_stats=True, dedup_pairs=False,
+        **kwargs
     ).materialize()
     # the verify state is bounded by the CANDIDATE set, never the corpus,
     # and VOLUME-GATED end to end — nothing is unconditionally pulled to
