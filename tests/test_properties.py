@@ -362,3 +362,106 @@ def test_prepare_linker_hash_sorted_and_first_wins():
     )
     # priority 1 beats 2 for Alpha
     assert got == {"Alpha": "Q3", "Beta": "Q2", "Gamma": "Q4"}
+
+
+def test_arrow_candidate_kernels_match_pandas():
+    """The Arrow/RE2 forms of the URI-candidate kernels must be
+    byte-identical to the pandas forms they replaced in the fused state
+    scan (PERF_NOTES #49) — including percent-escaped titles, non-ipchar
+    bytes (slow path), embedded newlines, backslash escapes, and
+    non-matching rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from yago4_ray.state import (
+        ENWIKI_PREFIX,
+        _enwiki_pairs,
+        _enwiki_pairs_arrow,
+        _label_candidates,
+        _label_candidates_arrow,
+        _wiki_candidates,
+        _wiki_candidates_arrow,
+    )
+
+    about = pd.DataFrame(
+        {
+            "subject": [
+                f"<{ENWIKI_PREFIX}Douglas_Adams>",
+                f"<{ENWIKI_PREFIX}Caf%C3%A9>",          # percent escape → slow path
+                f"<{ENWIKI_PREFIX}A B>",                 # space fast path
+                f"<{ENWIKI_PREFIX}pipe|char>",           # non-ipchar → slow path
+                "<https://de.wikipedia.org/wiki/Blau>",  # non-enwiki
+                f"<{ENWIKI_PREFIX}new\nline>",           # embedded newline
+            ],
+            "object": [f"<http://www.wikidata.org/entity/Q{i}>" for i in range(6)],
+        }
+    )
+    labels = pd.DataFrame(
+        {
+            "subject": [
+                "<http://www.wikidata.org/entity/Q42>",
+                "<http://www.wikidata.org/entity/Q1>",
+                "<http://www.wikidata.org/entity/Q2>",
+                "<http://www.wikidata.org/statement/x>",  # non-entity subject
+                "<http://www.wikidata.org/entity/Q3>",
+                "<http://www.wikidata.org/entity/Q4>",
+            ],
+            "object": [
+                '"Douglas Adams"@en',
+                '"esc\\\\aped"@en',     # backslash → slow path
+                '"plain"@fr',           # wrong language
+                '"orphan"@en',
+                '"multi\nline"@en',     # embedded newline
+                '"tab\tchar"@en',       # non-ipchar → slow path
+            ],
+        }
+    )
+    for pandas_fn, arrow_fn, df in (
+        (_wiki_candidates, _wiki_candidates_arrow, about),
+        (_enwiki_pairs, _enwiki_pairs_arrow, about),
+        (_label_candidates, _label_candidates_arrow, labels),
+    ):
+        want = pandas_fn(df).reset_index(drop=True)
+        got = arrow_fn(pa.Table.from_pandas(df, preserve_index=False))
+        got = got.reset_index(drop=True)[want.columns]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters='"'
+            ),
+            max_size=12,
+        ),
+        max_size=8,
+    ),
+    st.lists(st.integers(min_value=0, max_value=99), max_size=8),
+)
+def test_label_kernel_parity_fuzz(texts, qids):
+    """Hypothesis: _label_candidates_arrow ≡ _label_candidates on
+    arbitrary label content (the pandas/Arrow split is exactly the kind
+    of dual-implementation that drifted on embedded NULs last round)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from yago4_ray.state import _label_candidates, _label_candidates_arrow
+
+    n = min(len(texts), len(qids))
+    if n == 0:
+        return
+    df = pd.DataFrame(
+        {
+            "subject": [
+                f"<http://www.wikidata.org/entity/Q{q}>" for q in qids[:n]
+            ],
+            "object": [f'"{t}"@en' for t in texts[:n]],
+        }
+    )
+    want = _label_candidates(df).reset_index(drop=True)
+    got = _label_candidates_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).reset_index(drop=True)[want.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -300,6 +300,114 @@ def _label_candidates(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _slow_encode_scatter(values, simple_mask, fast, encode_one):
+    """Combine the vectorized fast-path results with the per-row slow
+    path: rows failing `simple_mask` (rare — labels/titles with
+    percent-escapes or non-ipchar bytes) run `encode_one` in Python and
+    scatter into the fast array. Returns a numpy object array."""
+    out = np.asarray(fast, dtype=object)
+    idx = np.nonzero(~np.asarray(simple_mask, dtype=bool))[0]
+    if len(idx):
+        vals = np.asarray(values, dtype=object)[idx]
+        out[idx] = [encode_one(v) for v in vals]
+    return out
+
+
+def _wiki_candidates_arrow(tbl: "pa.Table") -> pd.DataFrame:
+    """Arrow/RE2 form of `_wiki_candidates` (byte-identical output,
+    parity-gated by tests/test_properties): ONE extract_regex pass
+    replaces the slice/startswith/slice pandas chain — the pandas
+    kernel's 7 object-array passes were 2/3 of the fused state scan's
+    wall (PERF_NOTES #49)."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(
+        tbl.column("subject"),
+        f"^<{_re.escape(ENWIKI_PREFIX)}(?P<t>(?s:.*))>$",
+    )
+    keep = pc.is_valid(ex)
+    sel = tbl.filter(keep)
+    titles = pc.struct_field(ex.filter(keep), "t")
+    simple = pc.and_(
+        pc.invert(pc.match_substring(titles, "%")),
+        pc.match_substring_regex(titles, T.IPCHAR_OR_SPACE_RE.pattern),
+    )
+    fast = pc.binary_join_element_wise(
+        pa.scalar("<" + T.YAGO_RESOURCE_PREFIX),
+        pc.replace_substring(titles, " ", "_"),
+        pa.scalar(">"),
+        "",
+    )
+    uris = _slow_encode_scatter(
+        titles.to_pandas().to_numpy(),
+        simple.to_numpy(zero_copy_only=False),
+        fast.to_pandas().to_numpy(),
+        lambda t: T.iri(T.YAGO_RESOURCE_PREFIX + T.encode_iri_path(unquote(t))),
+    )
+    items = sel.column("object").to_pandas()
+    return pd.DataFrame(
+        {"item": items, "priority": 1, "uri": uris, "h": _hash_series(items)}
+    )
+
+
+def _enwiki_pairs_arrow(tbl: "pa.Table") -> pd.DataFrame:
+    """Arrow/RE2 form of `_enwiki_pairs` (byte-identical, parity-gated)."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(
+        tbl.column("subject"),
+        f"^<(?P<u>{_re.escape(ENWIKI_PREFIX)}(?s:.*))>$",
+    )
+    keep = pc.is_valid(ex)
+    items = tbl.filter(keep).column("object").to_pandas()
+    urls = pc.struct_field(ex.filter(keep), "u").to_pandas()
+    return pd.DataFrame({"item": items, "url": urls, "h": _hash_series(items)})
+
+
+def _label_candidates_arrow(tbl: "pa.Table") -> pd.DataFrame:
+    """Arrow/RE2 form of `_label_candidates` (byte-identical,
+    parity-gated): two extract_regex passes replace the pandas
+    endswith/extract/slice/contains/match/replace chain."""
+    import pyarrow.compute as pc
+
+    qx = pc.extract_regex(
+        tbl.column("subject"),
+        r"^<http://www\.wikidata\.org/entity/(?P<q>Q[0-9]+)>$",
+    )
+    vx = pc.extract_regex(tbl.column("object"), '(?s)^"(?P<v>.*)"@en$')
+    keep = pc.and_(pc.is_valid(qx), pc.is_valid(vx))
+    sub = tbl.filter(keep)
+    qids = pc.struct_field(qx.filter(keep), "q")
+    values = pc.struct_field(vx.filter(keep), "v")
+    simple = pc.and_(
+        pc.invert(pc.match_substring(values, "\\")),
+        pc.match_substring_regex(values, T.IPCHAR_OR_SPACE_RE.pattern),
+    )
+    fast = pc.replace_substring(values, " ", "_")
+    encoded = _slow_encode_scatter(
+        values.to_pandas().to_numpy(),
+        simple.to_numpy(zero_copy_only=False),
+        fast.to_pandas().to_numpy(),
+        lambda v: T.encode_iri_path(T.literal_value(f'"{v}"')),
+    )
+    items = sub.column("subject").to_pandas()
+    uris = pc.binary_join_element_wise(
+        pa.scalar("<" + T.YAGO_RESOURCE_PREFIX),
+        pa.array(encoded, pa.string(), from_pandas=True),
+        pa.scalar("_"),
+        qids,
+        pa.scalar(">"),
+        "",
+    ).to_pandas()
+    return pd.DataFrame(
+        {"item": items, "priority": 2, "uri": uris, "h": _hash_series(items)}
+    )
+
+
 def merge_uri_candidates_arrow(tbl: "pa.Table") -> "pa.Table":
     """Vectorized priority merge over complete item groups: per
     priority LEVEL ascending, uncovered items take their min uri.
@@ -831,59 +939,87 @@ def collect_input_reductions(
             }
         )
 
-    def route(batch: pd.DataFrame) -> pa.Table:
+    def route(batch: pa.Table) -> pa.Table:
+        # Arrow in, Arrow routing: the equality filters over rdf:type —
+        # the store's biggest partition — and the P31 count partials run
+        # as Arrow kernels; ONLY the subsets that feed the pandas
+        # siphash / URL-encode kernels convert to pandas (converting the
+        # whole 8 M-row frame cost ~2/3 of the scan wall at 32 CPUs —
+        # the read alone is 0.57 s, scan+pandas-route was 1.8 s)
         outs: list[pa.Table] = []
-        for pred, g in batch.groupby("predicate", sort=False):
-            if pred == T.RDF_TYPE:
-                if size == "full":
-                    items = g.loc[g["object"] == T.WIKIBASE_ITEM, "subject"]
-                    outs.append(
-                        _unified(_K_MARKER, items, h=_hash_series(items))
-                    )
-                # BestRank membership travels as 8-byte hashes only
-                # (statement ids never reach the driver as strings)
-                br = g.loc[g["object"] == T.WIKIBASE_BEST_RANK, "subject"]
-                outs.append(
-                    _unified(
-                        _K_BESTRANK,
-                        np.full(len(br), "", dtype=object),
-                        h=_hash_series(br),
-                    )
+        predc = batch.column("predicate")
+        t = batch.filter(pc.equal(predc, T.RDF_TYPE))
+        if t.num_rows:
+            if size == "full":
+                items = (
+                    t.filter(pc.equal(t.column("object"), T.WIKIBASE_ITEM))
+                    .column("subject")
+                    .to_pandas()
                 )
-            elif pred == T.SCHEMA_ABOUT:
-                wiki = _wiki_candidates(g)
-                outs.append(
-                    _unified(_K_WIKI, wiki["item"], uri=wiki["uri"], h=wiki["h"])
+                outs.append(_unified(_K_MARKER, items, h=_hash_series(items)))
+            # BestRank membership travels as 8-byte hashes only
+            # (statement ids never reach the driver as strings)
+            br = (
+                t.filter(pc.equal(t.column("object"), T.WIKIBASE_BEST_RANK))
+                .column("subject")
+                .to_pandas()
+            )
+            outs.append(
+                _unified(
+                    _K_BESTRANK,
+                    np.full(len(br), "", dtype=object),
+                    h=_hash_series(br),
                 )
-                pairs = _enwiki_pairs(g)
-                outs.append(
-                    _unified(
-                        _K_ENWIKI, pairs["item"], uri=pairs["url"], h=pairs["h"]
-                    )
+            )
+        ab = batch.filter(pc.equal(predc, T.SCHEMA_ABOUT))
+        if ab.num_rows:
+            wiki = _wiki_candidates_arrow(ab)
+            outs.append(
+                _unified(_K_WIKI, wiki["item"], uri=wiki["uri"], h=wiki["h"])
+            )
+            pairs = _enwiki_pairs_arrow(ab)
+            outs.append(
+                _unified(
+                    _K_ENWIKI, pairs["item"], uri=pairs["url"], h=pairs["h"]
                 )
-                if size != "full":
-                    mask = g["subject"].str.contains(needle, regex=False)
-                    items = g.loc[mask, "object"]
-                    outs.append(
-                        _unified(_K_MARKER, items, h=_hash_series(items))
-                    )
-            elif pred == T.SKOS_PREF_LABEL:
-                lab = _label_candidates(g)
-                outs.append(
-                    _unified(_K_LABEL, lab["item"], uri=lab["uri"], h=lab["h"])
+            )
+            if size != "full":
+                items = ab.filter(
+                    pc.match_substring(ab.column("subject"), needle)
+                ).column("object").to_pandas()
+                outs.append(_unified(_K_MARKER, items, h=_hash_series(items)))
+        lb = batch.filter(pc.equal(predc, T.SKOS_PREF_LABEL))
+        if lb.num_rows:
+            lab = _label_candidates_arrow(lb)
+            outs.append(
+                _unified(_K_LABEL, lab["item"], uri=lab["uri"], h=lab["h"])
+            )
+        p279 = batch.filter(pc.equal(predc, p279_pred))
+        if p279.num_rows:
+            outs.append(
+                _unified(
+                    _K_P279,
+                    p279.column("subject").to_pandas(),
+                    uri=p279.column("object").to_pandas(),
                 )
-            elif pred == p279_pred:
-                outs.append(_unified(_K_P279, g["subject"], uri=g["object"]))
-            elif pred == p31_pred:
-                # per-batch combiner partials: store rows are globally
-                # distinct, so batch-level nunique partials sum exactly
-                # (collect_instance_counts' own argument)
-                partial = g.groupby("object", as_index=False).agg(
-                    n=("subject", "nunique")
+            )
+        p31 = batch.filter(pc.equal(predc, p31_pred))
+        if p31.num_rows:
+            # per-batch combiner partials: store rows are globally
+            # distinct, so batch-level distinct-count partials sum
+            # exactly (collect_instance_counts' own argument). Arrow
+            # count_distinct is exact-byte (strictly better than pandas
+            # nunique's C-string NUL collapse — see broadcast._n_distinct)
+            agg = pa.TableGroupBy(
+                p31.select(["object", "subject"]), "object", use_threads=False
+            ).aggregate([("subject", "count_distinct")])
+            outs.append(
+                _unified(
+                    _K_COUNT,
+                    agg.column("object").to_pandas(),
+                    n=agg.column("subject_count_distinct").to_numpy(),
                 )
-                outs.append(
-                    _unified(_K_COUNT, partial["object"], n=partial["n"])
-                )
+            )
         if not outs:
             return _unified(_K_MARKER, [])
         return pa.concat_tables(outs)
@@ -905,7 +1041,7 @@ def collect_input_reductions(
     # tasks (no sort shuffle), so block count should track the SESSION
     # width, not the shuffle-exchange bound
     rows = scan_predicate(root, preds, wide=True).map_batches(
-        route, batch_format="pandas"
+        route, batch_format="pyarrow"
     )
     block_refs = rows.to_arrow_refs()
     _mark("scan (to_arrow_refs)")
