@@ -410,14 +410,19 @@ def minhash_dedup(
         batch_format="pyarrow",
     )
     ids_ref = None
+    star_ref = None
     if pairs_nbytes <= broadcast_cap:
         # HashedSet, not a raw set: pandas .isin rebuilds a hash table
         # over the whole candidate set on EVERY batch (PERF_NOTES #36) —
-        # at the 32 MB cap that's ~1M ids re-hashed per corpus block
+        # at the 32 MB cap that's ~1M ids re-hashed per corpus block.
+        # Do NOT block on the fold here: the shingle scan's tasks
+        # resolve ids_ref lazily via get_broadcast, so the corpus READ
+        # overlaps the endpoint fold; the star counter is fetched after
+        # the scan materializes (by then it resolved long ago).
         ids_ref, star_ref = _collect_endpoints.options(
             num_returns=2
         ).remote(*pair_refs)
-        n_star = ray.get(star_ref)
+        n_star = 0
     else:
         # endpoint set exceeds the broadcast cap: count star edges with
         # a distributed per-block partial + tiny sum instead
@@ -437,12 +442,16 @@ def minhash_dedup(
             ).sum("ns")
             or 0
         )
-    if n_star:
-        print(
-            f"[minhash_dedup] {n_star} star-linked pairs from oversized "
-            "LSH buckets (bucket_cap exceeded)",
-            flush=True,
-        )
+    def _report_stars(n: int) -> None:
+        if n:
+            print(
+                f"[minhash_dedup] {n} star-linked pairs from oversized "
+                "LSH buckets (bucket_cap exceeded)",
+                flush=True,
+            )
+
+    if star_ref is None:
+        _report_stars(n_star)
 
     def cand_shingles(b: pd.DataFrame) -> pa.Table:
         if ids_ref is not None:
@@ -517,6 +526,8 @@ def minhash_dedup(
             col_types={id_col: id_type, text_col: pa.string()},
         )
     sh_ds = sh_src.map_batches(cand_shingles, batch_format="pandas").materialize()
+    if star_ref is not None:
+        _report_stars(ray.get(star_ref))  # resolved during the scan
 
     def _pair_keep(sh_as, sh_bs) -> np.ndarray:
         """Exact-Jaccard keep mask for aligned shingle-payload sequences."""
